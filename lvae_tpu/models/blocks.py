@@ -1,0 +1,183 @@
+"""Deterministic NN building blocks (flax.linen, NHWC).
+
+TPU-native re-design of the reference's ``lib/nn.py`` (SURVEY.md §2.1):
+``ResidualBlock`` parameterized by a block-type string (ordering of
+batchnorm / activation / conv / dropout, e.g. ``'bacdbacd'`` or
+``'cabdcabd'``), the PixelCNN-style ``GateLayer``, and resampling residual
+wrappers used by the bottom-up and top-down stacks.
+
+All convolutions are XLA ``conv_general_dilated`` under the hood — they
+tile onto the MXU; batchnorm/activation/dropout epilogues are fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+NONLINEARITIES: dict[str, Callable] = {
+    "relu": nn.relu,
+    "leakyrelu": nn.leaky_relu,
+    "elu": nn.elu,
+    "selu": nn.selu,
+    "gelu": nn.gelu,
+    "silu": nn.silu,
+}
+
+
+def get_nonlin(name: str) -> Callable:
+    try:
+        return NONLINEARITIES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown nonlinearity {name!r}; choose from {sorted(NONLINEARITIES)}"
+        ) from None
+
+
+class GateLayer(nn.Module):
+    """Gated activation a * sigmoid(b) from a 2x-channel conv projection.
+
+    Reference: ``lib/nn.py`` GateLayer2d (PixelCNN-style gates), applied at
+    the end of a gated residual block.
+    """
+
+    channels: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Conv(2 * self.channels, (self.kernel_size, self.kernel_size))(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        return a * nn.sigmoid(b)
+
+
+class ResidualBlock(nn.Module):
+    """Residual block whose inner ordering is given by ``block_type``.
+
+    Each character of ``block_type`` appends one op to the residual branch:
+    ``b`` batchnorm, ``a`` activation, ``c`` 3x3 conv, ``d`` dropout.
+    The reference's two documented orderings are ``'bacdbacd'`` and
+    ``'cabdcabd'`` (SURVEY.md §2.1 lib/nn.py). With ``gated=True`` a
+    GateLayer is applied at the end of the branch before the residual add.
+    """
+
+    channels: int
+    block_type: str = "bacdbacd"
+    kernel_size: int = 3
+    nonlin: str = "elu"
+    dropout_rate: float = 0.0
+    batchnorm: bool = True
+    gated: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        act = get_nonlin(self.nonlin)
+        h = x
+        for ch in self.block_type:
+            if ch == "b":
+                if self.batchnorm:
+                    h = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=0.9,
+                        epsilon=1e-5,
+                    )(h)
+            elif ch == "a":
+                h = act(h)
+            elif ch == "c":
+                h = nn.Conv(
+                    self.channels, (self.kernel_size, self.kernel_size)
+                )(h)
+            elif ch == "d":
+                if self.dropout_rate > 0.0:
+                    h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            else:
+                raise ValueError(f"unknown block_type char {ch!r} in {self.block_type!r}")
+        if self.gated:
+            h = GateLayer(self.channels)(h)
+        return x + h
+
+
+class ResBlockWithResampling(nn.Module):
+    """Optional 2x resample + channel projection, then a ResidualBlock.
+
+    ``mode='bottom-up'`` downsamples with a stride-2 conv;
+    ``mode='top-down'`` upsamples with a stride-2 transposed conv. With no
+    resampling, a 1x1 conv aligns channel count when needed. Mirrors the
+    reference's BottomUpDeterministicResBlock / TopDownDeterministicResBlock
+    wrappers (SURVEY.md §2.1 models/lvae.py).
+    """
+
+    mode: str  # 'bottom-up' | 'top-down'
+    channels: int
+    resample: bool = False
+    block_type: str = "bacdbacd"
+    kernel_size: int = 3
+    nonlin: str = "elu"
+    dropout_rate: float = 0.0
+    batchnorm: bool = True
+    gated: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        if self.resample:
+            if self.mode == "bottom-up":
+                x = nn.Conv(
+                    self.channels,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(2, 2),
+                )(x)
+            elif self.mode == "top-down":
+                x = nn.ConvTranspose(
+                    self.channels,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(2, 2),
+                )(x)
+            else:
+                raise ValueError(f"unknown mode {self.mode!r}")
+        elif x.shape[-1] != self.channels:
+            x = nn.Conv(self.channels, (1, 1))(x)
+        return ResidualBlock(
+            channels=self.channels,
+            block_type=self.block_type,
+            kernel_size=self.kernel_size,
+            nonlin=self.nonlin,
+            dropout_rate=self.dropout_rate,
+            batchnorm=self.batchnorm,
+            gated=self.gated,
+        )(x, train=train)
+
+
+class MergeLayer(nn.Module):
+    """Merge two same-shape feature maps (inference BU + generative TD).
+
+    ``merge_type='linear'``: 1x1 conv on the channel concat.
+    ``merge_type='residual'``: 1x1 conv then a ResidualBlock.
+    Reference: models/lvae.py MergeLayer (SURVEY.md §2.1; the reference
+    merges in feature space, BIVA/NVAE-style, not by precision-weighting —
+    see SURVEY.md §2.1 "Inference-merge semantics").
+    """
+
+    channels: int
+    merge_type: str = "residual"
+    block_type: str = "bacdbacd"
+    nonlin: str = "elu"
+    dropout_rate: float = 0.0
+    batchnorm: bool = True
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        x = jnp.concatenate([a, b], axis=-1)
+        x = nn.Conv(self.channels, (1, 1))(x)
+        if self.merge_type == "linear":
+            return x
+        if self.merge_type == "residual":
+            return ResidualBlock(
+                channels=self.channels,
+                block_type=self.block_type,
+                nonlin=self.nonlin,
+                dropout_rate=self.dropout_rate,
+                batchnorm=self.batchnorm,
+            )(x, train=train)
+        raise ValueError(f"unknown merge_type {self.merge_type!r}")

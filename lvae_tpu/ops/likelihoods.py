@@ -134,7 +134,7 @@ def discretized_logistic_mix_log_prob(
 
     new_shape = x.shape[:-1] + (k, c)
     means = means.reshape(new_shape)
-    log_scales = jnp.clip(log_scales.reshape(new_shape), a_min=-7.0)
+    log_scales = jnp.clip(log_scales.reshape(new_shape), min=-7.0)
     coeffs = jnp.tanh(coeffs_raw.reshape(new_shape))
 
     # x in [0,1] -> [-1,1] like PixelCNN++ (autoregression is linear on
