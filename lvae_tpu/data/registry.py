@@ -1,0 +1,135 @@
+"""Dataset registry: name -> arrays + metadata + preprocessing spec.
+
+TPU-native replacement for the reference's ``experiment/data.py``
+``DatasetLoader`` (SURVEY.md §2.1): selects a dataset by name, exposes
+``img_size`` / ``color_ch`` / default likelihood, and declares which
+*on-device* preprocessing the training step must apply (the reference did
+binarization/dequantization on host CPU workers; here it fuses into the
+jit'd step — SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+import numpy as np
+
+from lvae_tpu.data import sources
+
+# on-device preprocessing modes (applied inside the jit'd train step)
+PREPROCESS_NONE = "none"              # data already in final [0,1] form
+PREPROCESS_BINARIZE = "binarize"      # dynamic: x ~ Bernoulli(u8/255) per step
+PREPROCESS_DEQUANTIZE = "dequantize"  # uniform: (u8 + u)/256, u ~ U[0,1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetBundle:
+    """Everything the experiment needs to know about a dataset."""
+
+    name: str
+    train: np.ndarray               # uint8 NHWC
+    test: np.ndarray                # uint8 NHWC
+    img_size: Tuple[int, int]       # native data resolution
+    padded_size: Tuple[int, int]    # model resolution (pow-2 friendly)
+    color_ch: int
+    preprocess: str                 # one of the PREPROCESS_* modes
+    default_likelihood: str
+
+    @property
+    def data_shape(self) -> Tuple[int, int, int]:
+        return (*self.img_size, self.color_ch)
+
+
+def _padded(hw: int) -> int:
+    """Smallest power-of-two >= hw (28 -> 32, 32 -> 32, 64 -> 64)."""
+    p = 1
+    while p < hw:
+        p *= 2
+    return p
+
+
+DATASETS = (
+    "static_mnist",
+    "mnist",
+    "cifar10",
+    "svhn",
+    "celeba",
+    "multi_dsprites_binary_rgb",
+    "multi_mnist_binary",
+    "synthetic",
+    "synthetic_rgb",
+)
+
+
+def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
+    """Build the :class:`DatasetBundle` for a dataset name.
+
+    Mirrors the reference's dataset names (SURVEY.md §2.1 experiment/data.py:
+    static_mnist, mnist (dynamic binarization), cifar10, svhn, celeba,
+    multi_dsprites_binary_rgb, multi_mnist_binary) plus offline-friendly
+    synthetic fixtures."""
+    if name == "static_mnist":
+        train, test = sources.load_static_mnist(data_dir)
+        return DatasetBundle(
+            name, train, test, (28, 28), (32, 32), 1,
+            PREPROCESS_NONE, "bernoulli",
+        )
+    if name == "mnist":
+        train, test = sources.load_mnist(data_dir)
+        return DatasetBundle(
+            name, train, test, (28, 28), (32, 32), 1,
+            PREPROCESS_BINARIZE, "bernoulli",
+        )
+    if name == "cifar10":
+        train, test = sources.load_cifar10(data_dir)
+        return DatasetBundle(
+            name, train, test, (32, 32), (32, 32), 3,
+            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
+        )
+    if name == "svhn":
+        train, test = sources.load_svhn(data_dir)
+        return DatasetBundle(
+            name, train, test, (32, 32), (32, 32), 3,
+            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
+        )
+    if name == "celeba":
+        train, test = sources.load_celeba(data_dir)
+        return DatasetBundle(
+            name, train, test, (64, 64), (64, 64), 3,
+            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
+        )
+    if name == "multi_dsprites_binary_rgb":
+        path = os.path.join(
+            data_dir, "multiobject", "dsprites", "multi_dsprites_color_012.npz"
+        )
+        train, test = sources.load_multiobject_npz(path)
+        hw = train.shape[1]
+        return DatasetBundle(
+            name, train, test, (hw, hw), (_padded(hw),) * 2, train.shape[-1],
+            PREPROCESS_NONE, "bernoulli",
+        )
+    if name == "multi_mnist_binary":
+        path = os.path.join(
+            data_dir, "multiobject", "binary_mnist", "multi_binary_mnist_012.npz"
+        )
+        train, test = sources.load_multiobject_npz(path)
+        hw = train.shape[1]
+        return DatasetBundle(
+            name, train, test, (hw, hw), (_padded(hw),) * 2, train.shape[-1],
+            PREPROCESS_NONE, "bernoulli",
+        )
+    if name == "synthetic":
+        train, test = sources.make_synthetic(img=28, channels=1, binary=True)
+        return DatasetBundle(
+            name, train, test, (28, 28), (32, 32), 1,
+            PREPROCESS_NONE, "bernoulli",
+        )
+    if name == "synthetic_rgb":
+        train, test = sources.make_synthetic(img=32, channels=3, binary=False)
+        return DatasetBundle(
+            name, train, test, (32, 32), (32, 32), 3,
+            PREPROCESS_DEQUANTIZE, "discretized_logistic",
+        )
+    raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS}")

@@ -1,0 +1,158 @@
+"""Data layer tests: parsers on synthetic fixtures, device pipeline."""
+
+import gzip
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lvae_tpu.data import (
+    DeviceDataset,
+    eval_preprocess_batch,
+    fold_in_indices,
+    load_dataset,
+    preprocess_batch,
+)
+from lvae_tpu.data import sources
+
+
+class TestParsers:
+    def test_amat_roundtrip(self, tmp_path, rng):
+        imgs = (rng.uniform(size=(5, 784)) < 0.5).astype(np.uint8)
+        p = tmp_path / "binarized_mnist_train.amat"
+        np.savetxt(p, imgs, fmt="%d")
+        out = sources.load_amat(str(p))
+        np.testing.assert_array_equal(out, imgs.reshape(5, 28, 28, 1))
+
+    def test_idx_roundtrip(self, tmp_path, rng):
+        imgs = rng.integers(0, 256, size=(4, 28, 28), dtype=np.uint8)
+        p = tmp_path / "train-images-idx3-ubyte.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(struct.pack(">IIII", 2051, 4, 28, 28))
+            f.write(imgs.tobytes())
+        out = sources.load_idx_images(str(p))
+        np.testing.assert_array_equal(out, imgs[..., None])
+
+    def test_cifar_pickles(self, tmp_path, rng):
+        d = tmp_path / "cifar10" / "cifar-10-batches-py"
+        d.mkdir(parents=True)
+        n = 6
+        for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+            data = rng.integers(0, 256, size=(n, 3072), dtype=np.uint8)
+            with open(d / name, "wb") as f:
+                pickle.dump({"data": data, "labels": [0] * n}, f)
+        train, test = sources.load_cifar10(str(tmp_path))
+        assert train.shape == (30, 32, 32, 3)
+        assert test.shape == (6, 32, 32, 3)
+
+    def test_multiobject_npz(self, tmp_path, rng):
+        imgs = (rng.uniform(size=(20, 64, 64, 3)) < 0.5).astype(np.uint8) * 255
+        p = tmp_path / "multi.npz"
+        np.savez(p, x=imgs, labels=np.zeros(20))
+        train, test = sources.load_multiobject_npz(str(p))
+        assert train.shape == (18, 64, 64, 3)
+        assert test.shape == (2, 64, 64, 3)
+        assert set(np.unique(train)) <= {0, 1}
+
+    def test_missing_file_message(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="no network"):
+            sources.load_static_mnist(str(tmp_path))
+
+    def test_synthetic_deterministic(self):
+        a, _ = sources.make_synthetic(n_train=16, n_test=4, seed=3)
+        b, _ = sources.make_synthetic(n_train=16, n_test=4, seed=3)
+        np.testing.assert_array_equal(a, b)
+        assert set(np.unique(a)) <= {0, 1}
+
+
+class TestRegistry:
+    def test_synthetic_bundle(self):
+        b = load_dataset("synthetic")
+        assert b.img_size == (28, 28)
+        assert b.padded_size == (32, 32)
+        assert b.color_ch == 1
+        assert b.default_likelihood == "bernoulli"
+        assert b.train.dtype == np.uint8
+
+    def test_synthetic_rgb_bundle(self):
+        b = load_dataset("synthetic_rgb")
+        assert b.color_ch == 3
+        assert b.preprocess == "dequantize"
+
+    def test_unknown_dataset(self):
+        with pytest.raises(ValueError, match="unknown dataset"):
+            load_dataset("nope")
+
+
+class TestDevicePipeline:
+    def test_gather_matches_numpy(self, rng):
+        arr = rng.integers(0, 256, size=(50, 4, 4, 1), dtype=np.uint8)
+        ds = DeviceDataset(arr)
+        idx = np.array([3, 7, 7, 49])
+        out = np.asarray(ds.gather(jnp.asarray(idx)))
+        np.testing.assert_array_equal(out, arr[idx])
+
+    def test_epoch_indices_cover_all(self, rng):
+        ds = DeviceDataset(np.zeros((37, 2, 2, 1), np.uint8))
+        batches = list(ds.epoch_indices(np.random.default_rng(0), 10))
+        assert len(batches) == 3  # drop remainder
+        flat = np.concatenate(batches)
+        assert len(np.unique(flat)) == 30
+
+    def test_sequential_covers_all(self):
+        ds = DeviceDataset(np.zeros((25, 2, 2, 1), np.uint8))
+        batches = list(ds.sequential_indices(10))
+        assert [len(b) for b in batches] == [10, 10, 5]
+        np.testing.assert_array_equal(np.concatenate(batches), np.arange(25))
+
+    def test_preprocess_none(self):
+        x = jnp.asarray(np.array([[0, 1]], np.uint8))
+        out = preprocess_batch(x, None, "none")
+        assert out.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out), [[0.0, 1.0]])
+
+    def test_preprocess_binarize_statistics(self):
+        x = jnp.full((1, 100, 100, 1), 128, jnp.uint8)
+        out = preprocess_batch(x, jax.random.key(0), "binarize")
+        assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
+        assert abs(float(out.mean()) - 128 / 255) < 0.02
+
+    def test_preprocess_dequantize_range(self):
+        x = np.array([0, 128, 255], np.float64)
+        out = np.asarray(
+            preprocess_batch(jnp.asarray(x, jnp.uint8), jax.random.key(0), "dequantize")
+        )
+        assert np.all(out >= x / 256.0) and np.all(out < (x + 1) / 256.0)
+
+    def test_eval_preprocess_deterministic(self):
+        x = jnp.asarray(np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1))
+        a = np.asarray(eval_preprocess_batch(x, "binarize"))
+        b = np.asarray(eval_preprocess_batch(x, "binarize"))
+        np.testing.assert_array_equal(a, b)
+        d = np.asarray(eval_preprocess_batch(x, "dequantize"))
+        np.testing.assert_allclose(
+            d, (np.asarray(x).astype(np.float32) + 0.5) / 256.0
+        )
+
+    def test_fold_in_indices_on_device(self):
+        idx = fold_in_indices(jax.random.key(0), jnp.asarray(3), 100, 16)
+        assert idx.shape == (16,)
+        assert np.all((np.asarray(idx) >= 0) & (np.asarray(idx) < 100))
+        idx2 = fold_in_indices(jax.random.key(0), jnp.asarray(3), 100, 16)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+
+    def test_preprocess_inside_jit(self):
+        arr = np.random.default_rng(0).integers(0, 256, (64, 8, 8, 1), np.uint8)
+        ds = DeviceDataset(arr)
+
+        @jax.jit
+        def step(data, idx, key):
+            batch = jnp.take(data, idx, axis=0)
+            return preprocess_batch(batch, key, "dequantize").mean()
+
+        v = step(ds.array, jnp.arange(16), jax.random.key(0))
+        assert np.isfinite(float(v))
