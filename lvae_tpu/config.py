@@ -1,0 +1,199 @@
+"""CLI schema and experiment configuration.
+
+Mirrors the reference's two-layer argparse schema (SURVEY.md §5 "Config /
+flag system": boilr base flags + LVAEExperiment model/data flags). Flags
+confirmed from the reference README are spelled identically
+(``--zdims --downsample --nonlin --skip --blocks-per-layer --gated
+--freebits --learn-top-prior --data-dep-init --seed --dataset``); the
+[M]-confidence flags use the SURVEY's expected spellings and are isolated
+here so renames are one-line fixes once the reference mount is readable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # data
+    dataset: str = "static_mnist"
+    data_dir: str = "./data"
+    batch_size: int = 64
+    test_batch_size: int = 1000
+    # model
+    zdims: Tuple[int, ...] = (32, 32, 32)
+    downsample: Tuple[int, ...] = (1, 1, 1)
+    blocks_per_layer: int = 2
+    n_filters: int = 64
+    skip: bool = False                    # stochastic skip connections
+    gated: bool = False
+    learn_top_prior: bool = False
+    no_initial_downscaling: bool = False
+    nonlin: str = "elu"
+    dropout: float = 0.2
+    residual_type: str = "bacdbacd"
+    merge_layers: str = "residual"
+    batchnorm: bool = True
+    likelihood: Optional[str] = None      # None -> dataset default
+    # loss / optimization
+    freebits: float = 0.0
+    beta_anneal: int = 0                  # KL warmup steps (0 = off)
+    lr: float = 3e-4
+    max_grad_norm: Optional[float] = None
+    max_steps: int = 100_000
+    ema_decay: float = 0.999
+    data_dep_init: bool = False
+    seed: int = 54321
+    # infrastructure
+    fused: str = "none"                   # 'none' | 'pallas'
+    num_data_shards: int = 1              # data-parallel devices
+    log_interval: int = 1000
+    test_interval: int = 10_000
+    checkpoint_interval: int = 10_000
+    keep_checkpoints: int = 2
+    iw_samples: int = 100
+    output_dir: str = "./output"
+    run_name: Optional[str] = None        # None -> timestamp + descr string
+    load: Optional[str] = None            # resume / evaluate a saved run
+    dry_run: bool = False                 # no checkpoints, no TB
+
+    def describe(self) -> str:
+        """boilr-style auto-description string for the run directory name
+        (SURVEY.md §2.2 'Run naming — timestamp + hyperparameter args')."""
+        z = "-".join(map(str, self.zdims))
+        parts = [self.dataset, f"z{z}", f"f{self.n_filters}", f"b{self.blocks_per_layer}"]
+        if self.skip:
+            parts.append("skip")
+        if self.gated:
+            parts.append("gated")
+        if self.freebits:
+            parts.append(f"fb{self.freebits:g}")
+        if self.beta_anneal:
+            parts.append(f"anneal{self.beta_anneal}")
+        if self.learn_top_prior:
+            parts.append("ltp")
+        parts.append(f"seed{self.seed}")
+        return ",".join(parts)
+
+    def make_run_name(self) -> str:
+        if self.run_name:
+            return self.run_name
+        stamp = time.strftime("%y%m%d_%H%M%S")
+        return f"{stamp}_{self.describe()}"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Ladder VAE training",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    d = ExperimentConfig()
+    # data
+    p.add_argument("--dataset", default=d.dataset)
+    p.add_argument("--data-dir", default=d.data_dir)
+    p.add_argument("--batch-size", type=int, default=d.batch_size)
+    p.add_argument("--test-batch-size", type=int, default=d.test_batch_size)
+    # model (README-confirmed spellings first)
+    p.add_argument("--zdims", type=int, nargs="+", default=list(d.zdims))
+    p.add_argument("--downsample", type=int, nargs="+", default=list(d.downsample))
+    p.add_argument("--nonlin", default=d.nonlin,
+                   choices=["relu", "leakyrelu", "elu", "selu", "gelu", "silu"])
+    p.add_argument("--skip", action="store_true", help="stochastic skip connections")
+    p.add_argument("--blocks-per-layer", type=int, default=d.blocks_per_layer)
+    p.add_argument("--gated", action="store_true")
+    p.add_argument("--freebits", type=float, default=d.freebits)
+    p.add_argument("--learn-top-prior", action="store_true")
+    p.add_argument("--data-dep-init", action="store_true")
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--n-filters", type=int, default=d.n_filters)
+    p.add_argument("--no-initial-downscaling", action="store_true")
+    p.add_argument("--dropout", type=float, default=d.dropout)
+    p.add_argument("--residual-type", default=d.residual_type)
+    p.add_argument("--merge-layers", default=d.merge_layers,
+                   choices=["linear", "residual"])
+    p.add_argument("--no-bn", action="store_true", help="disable batchnorm")
+    p.add_argument("--likelihood", default=None,
+                   choices=["bernoulli", "gaussian", "discretized_logistic",
+                            "discretized_logistic_mix"])
+    # loss / optimization
+    p.add_argument("--beta-anneal", type=int, default=d.beta_anneal,
+                   help="KL warmup steps (0 = off)")
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--max-grad-norm", type=float, default=None)
+    p.add_argument("--max-steps", type=int, default=d.max_steps)
+    p.add_argument("--ema-decay", type=float, default=d.ema_decay)
+    # infrastructure
+    p.add_argument("--fused", default=d.fused, choices=["none", "pallas"])
+    p.add_argument("--num-data-shards", type=int, default=d.num_data_shards)
+    p.add_argument("--log-interval", type=int, default=d.log_interval)
+    p.add_argument("--test-interval", type=int, default=d.test_interval)
+    p.add_argument("--checkpoint-interval", type=int, default=d.checkpoint_interval)
+    p.add_argument("--keep-checkpoints", type=int, default=d.keep_checkpoints)
+    p.add_argument("--iw-samples", type=int, default=d.iw_samples)
+    p.add_argument("--output-dir", default=d.output_dir)
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--load", default=None, help="run name (or dir) to resume from")
+    p.add_argument("--dry-run", action="store_true")
+    return p
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
+    args = build_parser().parse_args(argv)
+    return ExperimentConfig(
+        dataset=args.dataset,
+        data_dir=args.data_dir,
+        batch_size=args.batch_size,
+        test_batch_size=args.test_batch_size,
+        zdims=tuple(args.zdims),
+        downsample=tuple(args.downsample),
+        blocks_per_layer=args.blocks_per_layer,
+        n_filters=args.n_filters,
+        skip=args.skip,
+        gated=args.gated,
+        learn_top_prior=args.learn_top_prior,
+        no_initial_downscaling=args.no_initial_downscaling,
+        nonlin=args.nonlin,
+        dropout=args.dropout,
+        residual_type=args.residual_type,
+        merge_layers=args.merge_layers,
+        batchnorm=not args.no_bn,
+        likelihood=args.likelihood,
+        freebits=args.freebits,
+        beta_anneal=args.beta_anneal,
+        lr=args.lr,
+        max_grad_norm=args.max_grad_norm,
+        max_steps=args.max_steps,
+        ema_decay=args.ema_decay,
+        data_dep_init=args.data_dep_init,
+        seed=args.seed,
+        fused=args.fused,
+        num_data_shards=args.num_data_shards,
+        log_interval=args.log_interval,
+        test_interval=args.test_interval,
+        checkpoint_interval=args.checkpoint_interval,
+        keep_checkpoints=args.keep_checkpoints,
+        iw_samples=args.iw_samples,
+        output_dir=args.output_dir,
+        run_name=args.run_name,
+        load=args.load,
+        dry_run=args.dry_run,
+    )
+
+
+def config_from_dict(d: dict) -> ExperimentConfig:
+    """Rebuild a config from a saved ``config.json`` (evaluate/resume)."""
+    field_names = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in field_names:
+            continue
+        if isinstance(v, list):
+            v = tuple(v)
+        if v == "None":
+            v = None
+        kwargs[k] = v
+    return ExperimentConfig(**kwargs)

@@ -1,0 +1,93 @@
+"""Checkpoint save/restore with the reference's run-directory contract.
+
+Replaces boilr's checkpointing (SURVEY.md §2.2, §5): state (params, opt
+state, batchnorm stats, step, EMA metrics, PRNG key) is saved under
+``<output_dir>/checkpoints/<run_name>/`` keeping the last N steps, and the
+run's full config is stored as ``config.json`` next to it so
+``evaluate.py --load <run_name>`` can rebuild the experiment exactly
+(the reference reconstructs the experiment from the stored args).
+Backed by orbax's async CheckpointManager.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from lvae_tpu.train.state import TrainState
+
+
+def _state_to_tree(state: TrainState) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "ema": state.ema,
+        # typed PRNG keys are not serializable; store the raw key data
+        "rng_data": jax.random.key_data(state.rng),
+    }
+
+
+def _tree_to_state(tree: dict) -> TrainState:
+    return TrainState(
+        step=tree["step"],
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        ema=tree["ema"],
+        rng=jax.random.wrap_key_data(tree["rng_data"]),
+    )
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str, keep: int = 2, save_interval: int = 1):
+        self.dir = os.path.abspath(os.path.join(run_dir, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, save_interval_steps=save_interval
+            ),
+        )
+
+    def save(self, state: TrainState, wait: bool = False) -> None:
+        step = int(state.step)
+        self._mngr.save(step, args=ocp.args.StandardSave(_state_to_tree(state)))
+        if wait:
+            self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.dir}")
+        tree = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(_state_to_tree(template))
+        )
+        return _tree_to_state(tree)
+
+    def close(self):
+        self._mngr.wait_until_finished()
+        self._mngr.close()
+
+
+def save_config(run_dir: str, config: Any) -> None:
+    """Write the run's config dataclass as JSON (evaluate.py rebuilds from it)."""
+    os.makedirs(run_dir, exist_ok=True)
+    d = dataclasses.asdict(config) if dataclasses.is_dataclass(config) else dict(config)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(d, f, indent=2, default=str)
+
+
+def load_config_dict(run_dir: str) -> dict:
+    with open(os.path.join(run_dir, "config.json")) as f:
+        return json.load(f)

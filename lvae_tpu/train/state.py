@@ -1,0 +1,180 @@
+"""Training state and the jit'd train/eval step factories.
+
+TPU-native replacement for the reference's training internals
+(boilr ``Trainer`` + ``LVAEExperiment.forward_pass`` — SURVEY.md §2.2,
+§3.1): one pure ``train_step(state, data, idx) -> state, metrics`` that
+XLA compiles end-to-end, including the batch gather from the
+device-resident dataset, on-device preprocessing, loss with KL-warmup
+beta and free-bits clamp, Adamax update, and an on-device EMA of the
+training metrics (the reference EMAs metrics on host; doing it on device
+keeps the step fully async — no per-step readbacks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from lvae_tpu.data.device import eval_preprocess_batch, preprocess_batch
+from lvae_tpu.ops.math import free_bits_kl, linear_anneal
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Any                      # dict of EMA'd train metrics (on device)
+    rng: jax.Array                # base PRNG key; per-step keys are folded in
+
+    def replace_(self, **kw):
+        return self.replace(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    free_bits: float = 0.0
+    beta_anneal_steps: int = 0    # 0 -> no KL warmup (beta = 1)
+    preprocess: str = "none"
+    ema_decay: float = 0.999
+    max_grad_norm: Optional[float] = None
+    data_dims: int = 784          # H*W*C of the raw data (for bpd metrics)
+
+
+def _nats_to_bpd(nelbo_nats: jnp.ndarray, dims: int) -> jnp.ndarray:
+    return nelbo_nats / (dims * jnp.log(2.0))
+
+
+def make_optimizer(
+    lr: float = 3e-4, max_grad_norm: Optional[float] = None
+) -> optax.GradientTransformation:
+    """Adamax, the reference's optimizer (SURVEY.md §2.1 make_optimizer;
+    torch.optim.Adamax defaults: betas=(0.9, 0.999), eps=1e-8 — optax
+    matches), with optional global-norm gradient clipping."""
+    tx = optax.adamax(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    sample_input: jnp.ndarray,
+    seed: int,
+    n_layers: int,
+) -> TrainState:
+    k = jax.random.key(seed)
+    variables = model.init(
+        {"params": k, "sample": k, "dropout": k}, sample_input, train=True
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    ema = {
+        "elbo": jnp.zeros(()),
+        "ll": jnp.zeros(()),
+        "kl": jnp.zeros(()),
+        "loss": jnp.zeros(()),
+        "kl_layers": jnp.zeros((n_layers,)),
+    }
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema=ema,
+        rng=jax.random.key(seed + 1),
+    )
+
+
+def make_train_step(
+    model, tx: optax.GradientTransformation, cfg: LossConfig
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, dict]]:
+    """Build the jit-able train step. `data` is the full device-resident
+    uint8 split; `idx` the [batch] index vector for this step."""
+
+    def train_step(state: TrainState, data: jnp.ndarray, idx: jnp.ndarray):
+        key = jax.random.fold_in(state.rng, state.step)
+        k_pre, k_sample, k_drop = jax.random.split(key, 3)
+        x = preprocess_batch(jnp.take(data, idx, axis=0), k_pre, cfg.preprocess)
+        beta = linear_anneal(state.step, 0.0, 1.0, cfg.beta_anneal_steps)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables,
+                x,
+                train=True,
+                rngs={"sample": k_sample, "dropout": k_drop},
+                mutable=mutable,
+            )
+            out, mut = out if mutable else (out, {})
+            kl_fb = free_bits_kl(out["kl_sep"], cfg.free_bits)  # [L]
+            ll_mean = out["ll"].mean()
+            loss = -(ll_mean - beta * kl_fb.sum())
+            kl_mean = out["kl_sep"].sum(axis=0).mean()
+            metrics = {
+                "elbo": ll_mean - kl_mean,
+                "ll": ll_mean,
+                "kl": kl_mean,
+                "loss": loss,
+                "kl_layers": out["kl_sep"].mean(axis=1),
+            }
+            return loss, (metrics, mut.get("batch_stats", state.batch_stats))
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        d = cfg.ema_decay
+        is_first = state.step == 0
+        new_ema = jax.tree_util.tree_map(
+            lambda e, m: jnp.where(is_first, m, d * e + (1.0 - d) * m),
+            state.ema,
+            metrics,
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            ema=new_ema,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: LossConfig):
+    """Deterministic test-set step: per-sample ELBO terms on a uint8 batch.
+
+    Uses the eval preprocessing convention (fixed binarization key / bin
+    centers) and running batchnorm statistics. Latent sampling still uses
+    a caller-provided key (the ELBO is an expectation over q)."""
+
+    def eval_step(state: TrainState, batch_u8: jnp.ndarray, key: jax.Array):
+        x = eval_preprocess_batch(batch_u8, cfg.preprocess)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, x, train=False, rngs={"sample": key})
+        kl = out["kl_sep"].sum(axis=0)  # [B]
+        return {
+            "ll": out["ll"],
+            "kl": kl,
+            "elbo": out["ll"] - kl,
+            "kl_layers": out["kl_sep"],
+            "out_mean": out["out_mean"],
+        }
+
+    return eval_step

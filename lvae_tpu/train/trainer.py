@@ -1,0 +1,255 @@
+"""Experiment + Trainer: the training-loop framework.
+
+Replaces boilr's ``Trainer`` / ``VIExperimentManager`` and the reference's
+``experiment/experiment_manager.py`` ``LVAEExperiment`` (SURVEY.md §2.1,
+§2.2, §3.1): factories (``make_model`` / ``make_optimizer`` / data), the
+hot loop around the jit'd train step, and the periodic hooks — EMA'd
+console/TB logging with per-layer KL, test-set evaluation, sample /
+reconstruction image dumps, and checkpoint save/resume.
+
+TPU-native structure: the loop body is ONE jitted function (gather +
+preprocess + fwd/bwd + Adamax + on-device metric EMA) with donated state;
+the host only feeds index vectors and occasionally reads back the EMA.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.config import ExperimentConfig
+from lvae_tpu.data import DeviceDataset, load_dataset
+from lvae_tpu.data.registry import DatasetBundle
+from lvae_tpu.eval.viz import save_image_grid
+from lvae_tpu.models import LadderVAE
+from lvae_tpu.train.checkpoint import CheckpointManager, save_config
+from lvae_tpu.train.init import data_dependent_init
+from lvae_tpu.train.logging import MetricLogger
+from lvae_tpu.train.state import (
+    LossConfig,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
+    """Model factory (reference LVAEExperiment.make_model)."""
+    return LadderVAE(
+        color_ch=bundle.color_ch,
+        z_dims=tuple(cfg.zdims),
+        blocks_per_layer=cfg.blocks_per_layer,
+        n_filters=cfg.n_filters,
+        stochastic_skip=cfg.skip,
+        gated=cfg.gated,
+        downsample=tuple(cfg.downsample),
+        learn_top_prior=cfg.learn_top_prior,
+        img_size=bundle.padded_size,
+        data_size=bundle.img_size,
+        likelihood=cfg.likelihood or bundle.default_likelihood,
+        batchnorm=cfg.batchnorm,
+        dropout_rate=cfg.dropout,
+        nonlin=cfg.nonlin,
+        res_block_type=cfg.residual_type,
+        merge_type=cfg.merge_layers,
+        no_initial_downscaling=cfg.no_initial_downscaling,
+        fused=cfg.fused == "pallas",
+    )
+
+
+def make_loss_config(cfg: ExperimentConfig, bundle: DatasetBundle) -> LossConfig:
+    h, w = bundle.img_size
+    return LossConfig(
+        free_bits=cfg.freebits,
+        beta_anneal_steps=cfg.beta_anneal,
+        preprocess=bundle.preprocess,
+        ema_decay=cfg.ema_decay,
+        max_grad_norm=cfg.max_grad_norm,
+        data_dims=h * w * bundle.color_ch,
+    )
+
+
+class Experiment:
+    """Owns config, model, optimizer, data (reference LVAEExperiment)."""
+
+    def __init__(self, cfg: ExperimentConfig, bundle: Optional[DatasetBundle] = None):
+        self.cfg = cfg
+        self.bundle = bundle if bundle is not None else load_dataset(
+            cfg.dataset, cfg.data_dir
+        )
+        self.model = make_model(cfg, self.bundle)
+        self.loss_cfg = make_loss_config(cfg, self.bundle)
+        self.tx = make_optimizer(cfg.lr, cfg.max_grad_norm)
+        self.train_data = DeviceDataset(self.bundle.train)
+        self.test_data = DeviceDataset(self.bundle.test)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        x0 = jnp.zeros(
+            (min(self.cfg.batch_size, 8), *self.bundle.data_shape), jnp.float32
+        )
+        state = create_train_state(
+            self.model, self.tx, x0, self.cfg.seed, len(self.cfg.zdims)
+        )
+        if self.cfg.data_dep_init:
+            k = jax.random.key(self.cfg.seed + 2)
+            batch = np.asarray(self.bundle.train[: self.cfg.batch_size])
+            from lvae_tpu.data.device import eval_preprocess_batch
+
+            x = eval_preprocess_batch(jnp.asarray(batch), self.bundle.preprocess)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            new_vars = data_dependent_init(
+                self.model, variables, x, {"sample": k, "dropout": k}
+            )
+            state = state.replace(
+                params=new_vars["params"],
+                batch_stats=new_vars.get("batch_stats", state.batch_stats),
+            )
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state: TrainState, max_batches: Optional[int] = None) -> dict:
+        """Full test-set ELBO (deterministic preprocessing). Variable-size
+        last batch is padded and masked so only two program shapes compile."""
+        eval_step = jax.jit(make_eval_step(self.model, self.loss_cfg))
+        bs = min(self.cfg.test_batch_size, self.test_data.n)
+        tot = {"ll": 0.0, "kl": 0.0, "elbo": 0.0}
+        kl_layers = np.zeros(len(self.cfg.zdims))
+        count = 0
+        for bi, idx in enumerate(self.test_data.sequential_indices(bs)):
+            if max_batches is not None and bi >= max_batches:
+                break
+            n_valid = len(idx)
+            if n_valid < bs:  # pad to the common shape, mask later
+                idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
+            batch = self.test_data.gather(jnp.asarray(idx))
+            out = eval_step(state, batch, jax.random.fold_in(jax.random.key(0), bi))
+            mask = np.arange(bs) < n_valid
+            for k in tot:
+                tot[k] += float(np.asarray(out[k])[mask].sum())
+            kl_layers += np.asarray(out["kl_layers"])[:, mask].sum(axis=1)
+            count += n_valid
+        metrics = {k: v / max(count, 1) for k, v in tot.items()}
+        metrics["kl_layers"] = kl_layers / max(count, 1)
+        metrics["bpd"] = -metrics["elbo"] / (self.loss_cfg.data_dims * np.log(2.0))
+        return metrics
+
+    def dump_images(self, state: TrainState, run_dir: str, step: int,
+                    logger: Optional[MetricLogger] = None) -> None:
+        """Prior-sample and reconstruction grids (reference additional_testing)."""
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        samples = self.model.apply(
+            variables, 64, method="sample_prior",
+            rngs={"sample": jax.random.key(step)},
+        )["out_mean"]
+        img_dir = os.path.join(run_dir, "imgs")
+        g1 = save_image_grid(
+            np.asarray(samples), os.path.join(img_dir, f"sample_{step}.png")
+        )
+        # reconstructions: first 32 test images, interleaved orig/recon
+        eval_step = jax.jit(make_eval_step(self.model, self.loss_cfg))
+        n = min(32, self.test_data.n)
+        idx = np.arange(n)
+        batch = self.test_data.gather(jnp.asarray(idx))
+        out = eval_step(state, batch, jax.random.key(0))
+        from lvae_tpu.data.device import eval_preprocess_batch
+
+        orig = np.asarray(eval_preprocess_batch(batch, self.bundle.preprocess))
+        recon = np.asarray(out["out_mean"])
+        pairs = np.stack([orig, recon], axis=1).reshape(-1, *orig.shape[1:])
+        g2 = save_image_grid(
+            pairs, os.path.join(img_dir, f"recon_{step}.png"), ncol=8
+        )
+        if logger is not None:
+            logger.log_images("samples", step, g1)
+            logger.log_images("reconstructions", step, g2)
+
+
+class Trainer:
+    """The train loop (reference: boilr Trainer.run)."""
+
+    def __init__(self, experiment: Experiment):
+        self.exp = experiment
+        self.cfg = experiment.cfg
+
+    def run(self) -> TrainState:
+        cfg, exp = self.cfg, self.exp
+        run_name = cfg.make_run_name()
+        run_dir = os.path.join(cfg.output_dir, run_name)
+
+        ckpt = None
+        logger = MetricLogger(run_dir, enable_tb=not cfg.dry_run)
+        if not cfg.dry_run:
+            os.makedirs(run_dir, exist_ok=True)
+            save_config(run_dir, cfg)
+            ckpt = CheckpointManager(run_dir, keep=cfg.keep_checkpoints)
+
+        state = exp.init_state()
+        if cfg.load:
+            load_dir = cfg.load if os.path.isdir(cfg.load) else os.path.join(
+                cfg.output_dir, cfg.load
+            )
+            restore = CheckpointManager(load_dir, keep=cfg.keep_checkpoints)
+            state = restore.restore(state)
+            print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
+
+        train_step = jax.jit(
+            make_train_step(exp.model, exp.tx, exp.loss_cfg), donate_argnums=(0,)
+        )
+
+        print(
+            f"run {run_name}: {exp.train_data.n} train / {exp.test_data.n} test "
+            f"images, model {exp.model.likelihood} likelihood, "
+            f"{sum(x.size for x in jax.tree_util.tree_leaves(state.params)):,} params",
+            flush=True,
+        )
+
+        host_rng = np.random.default_rng(cfg.seed)
+        step = int(state.step)
+        t_last = time.time()
+        steps_since_log = 0
+        data = exp.train_data.array
+        try:
+            while step < cfg.max_steps:
+                for idx in exp.train_data.epoch_indices(host_rng, cfg.batch_size):
+                    if step >= cfg.max_steps:
+                        break
+                    state, _ = train_step(state, data, jnp.asarray(idx))
+                    step += 1
+                    steps_since_log += 1
+
+                    if step % cfg.log_interval == 0:
+                        ema = jax.device_get(state.ema)
+                        dt = time.time() - t_last
+                        ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
+                        logger.log_train(step, ema, images_per_sec=ips)
+                        t_last = time.time()
+                        steps_since_log = 0
+                    if step % cfg.test_interval == 0:
+                        m = exp.evaluate(state)
+                        logger.log_test(step, m)
+                        if not cfg.dry_run:
+                            exp.dump_images(state, run_dir, step, logger)
+                        t_last = time.time()
+                        steps_since_log = 0
+                    if ckpt is not None and step % cfg.checkpoint_interval == 0:
+                        ckpt.save(state)
+        except KeyboardInterrupt:
+            print("interrupted — saving final checkpoint", flush=True)
+
+        if ckpt is not None:
+            ckpt.save(state, wait=True)
+            ckpt.close()
+        logger.close()
+        return state
