@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Evaluate a saved run (reference: evaluate.py — SURVEY.md §2.1, §3.2).
+
+Loads a run by name from the output directory, restores the latest (or a
+chosen) checkpoint, computes the test-set ELBO, optionally the
+100-importance-sample log-likelihood, and writes prior-sample and
+reconstruction grids.
+
+    python evaluate.py --load <run-name> [--ll] [--iw-samples 100]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a saved Ladder VAE run")
+    p.add_argument("--load", required=True, help="run name (or full run dir)")
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--step", type=int, default=None, help="checkpoint step (default: latest)")
+    p.add_argument("--ll", action="store_true",
+                   help="compute importance-weighted log-likelihood")
+    p.add_argument("--iw-samples", type=int, default=100)
+    p.add_argument("--test-batch-size", type=int, default=None)
+    p.add_argument("--nimages", type=int, default=64, help="prior samples in the grid")
+    p.add_argument("--data-dir", default=None, help="override the run's data dir")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from lvae_tpu.config import config_from_dict
+    from lvae_tpu.eval.iwll import evaluate_iwll
+    from lvae_tpu.train import CheckpointManager, Experiment, load_config_dict
+
+    run_dir = args.load if os.path.isdir(args.load) else os.path.join(
+        args.output_dir, args.load
+    )
+    cfg = config_from_dict(load_config_dict(run_dir))
+    if args.test_batch_size:
+        cfg.test_batch_size = args.test_batch_size
+    if args.data_dir:
+        cfg.data_dir = args.data_dir
+
+    exp = Experiment(cfg)
+    state = CheckpointManager(run_dir, keep=cfg.keep_checkpoints).restore(
+        exp.init_state(), step=args.step
+    )
+    print(f"restored {run_dir} at step {int(state.step)}", flush=True)
+
+    metrics = exp.evaluate(state)
+    print(
+        f"test elbo {metrics['elbo']:.2f}  recons {metrics['ll']:.2f}  "
+        f"kl {metrics['kl']:.2f}  bpd {metrics['bpd']:.4f}", flush=True,
+    )
+    for i, v in enumerate(metrics["kl_layers"]):
+        print(f"  kl/layer_{i}: {v:.2f}")
+
+    if args.ll:
+        iw = evaluate_iwll(exp, state, n_samples=args.iw_samples)
+        print(
+            f"IW log-likelihood ({iw['n_samples']} samples, "
+            f"{iw['n_images']} images): {iw['iw_ll']:.2f} nats  "
+            f"bpd {iw['iw_bpd']:.4f}", flush=True,
+        )
+
+    exp.dump_images(state, run_dir, int(state.step))
+    print(f"wrote sample/recon grids to {os.path.join(run_dir, 'imgs')}")
+
+
+if __name__ == "__main__":
+    main()

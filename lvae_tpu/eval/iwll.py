@@ -1,0 +1,101 @@
+"""Importance-weighted log-likelihood evaluation (IWAE bound).
+
+Replaces boilr's IW-LL test procedure (SURVEY.md §2.2, §3.2): for each
+test batch, draw k posterior samples, compute per-sample ELBOs, and
+estimate  log p(x) ~= logsumexp_k(elbo_k) - log k  (k=100 by default,
+per BASELINE.json).
+
+TPU-native shape: the k samples run under ``lax.scan`` so the 100x batch
+expansion is never materialized (SURVEY.md §7 hard part 5) — HBM holds
+one batch's activations regardless of k; the accumulator is a streaming
+max/sum-exp pair (an online logsumexp), so the [k, B] elbo matrix is
+never materialized either.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from lvae_tpu.data.device import eval_preprocess_batch
+from lvae_tpu.train.state import LossConfig, TrainState
+
+
+def streaming_logsumexp_init(batch: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(running max, running sum of exp(x - max)) accumulator."""
+    return jnp.full((batch,), -jnp.inf), jnp.zeros((batch,))
+
+
+def streaming_logsumexp_update(carry, x):
+    m, s = carry
+    new_m = jnp.maximum(m, x)
+    # guard exp(-inf - -inf): where new_m == -inf both terms are 0
+    safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+    s = s * jnp.exp(m - safe) + jnp.exp(x - safe)
+    return (new_m, s)
+
+
+def streaming_logsumexp_final(carry) -> jnp.ndarray:
+    m, s = carry
+    return m + jnp.log(s)
+
+
+def make_iwll_step(
+    model, cfg: LossConfig, n_samples: int
+) -> Callable[[TrainState, jnp.ndarray, jax.Array], jnp.ndarray]:
+    """Build a jit-able step: uint8 test batch -> per-sample IW-LL [B]."""
+
+    def iwll_step(state: TrainState, batch_u8: jnp.ndarray, key: jax.Array):
+        x = eval_preprocess_batch(batch_u8, cfg.preprocess)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def body(carry, key_i):
+            out = model.apply(variables, x, train=False, rngs={"sample": key_i})
+            elbo = out["ll"] - out["kl_sep"].sum(axis=0)  # [B]
+            return streaming_logsumexp_update(carry, elbo), None
+
+        keys = jax.random.split(key, n_samples)
+        carry, _ = jax.lax.scan(
+            body, streaming_logsumexp_init(x.shape[0]), keys
+        )
+        return streaming_logsumexp_final(carry) - jnp.log(float(n_samples))
+
+    return iwll_step
+
+
+def evaluate_iwll(
+    experiment,
+    state: TrainState,
+    n_samples: int = 100,
+    batch_size: int | None = None,
+    max_batches: int | None = None,
+    seed: int = 0,
+) -> dict:
+    """Full test-set IW-LL sweep. Returns mean LL (nats/image) and bpd."""
+    import numpy as np
+
+    cfg = experiment.loss_cfg
+    bs = batch_size or min(experiment.cfg.test_batch_size, experiment.test_data.n)
+    step = jax.jit(make_iwll_step(experiment.model, cfg, n_samples))
+    total, count = 0.0, 0
+    for bi, idx in enumerate(experiment.test_data.sequential_indices(bs)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        n_valid = len(idx)
+        if n_valid < bs:
+            idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
+        batch = experiment.test_data.gather(jnp.asarray(idx))
+        ll = step(state, batch, jax.random.fold_in(jax.random.key(seed), bi))
+        total += float(np.asarray(ll)[:n_valid].sum())
+        count += n_valid
+    mean_ll = total / max(count, 1)
+    return {
+        "iw_ll": mean_ll,
+        "iw_bpd": -mean_ll / (cfg.data_dims * np.log(2.0)),
+        "n_samples": n_samples,
+        "n_images": count,
+    }
