@@ -204,9 +204,22 @@ class Trainer:
             state = restore.restore(state)
             print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
 
-        train_step = jax.jit(
-            make_train_step(exp.model, exp.tx, exp.loss_cfg), donate_argnums=(0,)
-        )
+        if cfg.num_data_shards > 1:
+            from lvae_tpu.parallel import make_dp_train_step, make_mesh
+
+            if cfg.batch_size % cfg.num_data_shards:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"num_data_shards {cfg.num_data_shards}"
+                )
+            mesh = make_mesh(cfg.num_data_shards)
+            train_step = make_dp_train_step(
+                make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+            )
+        else:
+            train_step = jax.jit(
+                make_train_step(exp.model, exp.tx, exp.loss_cfg), donate_argnums=(0,)
+            )
 
         print(
             f"run {run_name}: {exp.train_data.n} train / {exp.test_data.n} test "

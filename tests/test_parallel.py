@@ -1,0 +1,121 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8; SURVEY.md §4
+"distributed-without-a-cluster")."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lvae_tpu.config import ExperimentConfig
+from lvae_tpu.parallel import (
+    make_dp_eval_step,
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+from lvae_tpu.train import (
+    Experiment,
+    Trainer,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def tiny_exp(**kw):
+    cfg = dict(
+        dataset="synthetic",
+        zdims=(4, 4),
+        downsample=(1, 1),
+        blocks_per_layer=1,
+        n_filters=8,
+        batch_size=16,
+        test_batch_size=32,
+        dropout=0.0,
+        max_steps=4,
+        log_interval=100,
+        test_interval=1000,
+        seed=0,
+        dry_run=True,
+    )
+    cfg.update(kw)
+    return Experiment(ExperimentConfig(**cfg))
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(8)
+        assert mesh.shape == {"data": 8}
+
+    def test_subset_mesh(self):
+        assert make_mesh(2).shape == {"data": 2}
+
+    def test_too_many_devices(self):
+        with pytest.raises(ValueError, match="only 8 available"):
+            make_mesh(16)
+
+
+class TestDPTrainStep:
+    def test_sharded_step_runs_and_batch_is_sharded(self):
+        exp = tiny_exp()
+        mesh = make_mesh(8)
+        step = make_dp_train_step(
+            make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+        )
+        state = exp.init_state()
+        idx = jax.device_put(jnp.arange(16), shard_batch(mesh))
+        state, metrics = step(state, exp.train_data.array, idx)
+        assert int(state.step) == 1
+        assert np.isfinite(float(metrics["elbo"]))
+        # params stay replicated
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_matches_single_device(self):
+        # jax.random is position-consistent: the same key produces the same
+        # global batch on 1 or 8 devices -> identical training trajectories
+        # up to fp reassociation in the psum.
+        res = {}
+        for n in (1, 8):
+            exp = tiny_exp()
+            state = exp.init_state()
+            mesh = make_mesh(n)
+            step = make_dp_train_step(
+                make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+            )
+            for i in range(3):
+                idx = jax.device_put(
+                    jnp.arange(16) + i * 16, shard_batch(mesh)
+                )
+                state, metrics = step(state, exp.train_data.array, idx)
+            res[n] = (
+                float(metrics["elbo"]),
+                np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+            )
+        np.testing.assert_allclose(res[1][0], res[8][0], rtol=1e-4)
+        np.testing.assert_allclose(res[1][1], res[8][1], rtol=1e-3, atol=1e-6)
+
+    def test_trainer_with_num_data_shards(self):
+        exp = tiny_exp(num_data_shards=8, max_steps=4)
+        state = Trainer(exp).run()
+        assert int(state.step) == 4
+
+    def test_batch_not_divisible_raises(self):
+        exp = tiny_exp(num_data_shards=8, batch_size=12)
+        with pytest.raises(ValueError, match="not divisible"):
+            Trainer(exp).run()
+
+
+class TestDPEvalStep:
+    def test_sharded_eval(self):
+        exp = tiny_exp()
+        mesh = make_mesh(8)
+        estep = make_dp_eval_step(make_eval_step(exp.model, exp.loss_cfg), mesh)
+        state = exp.init_state()
+        batch = jax.device_put(
+            exp.test_data.gather(jnp.arange(32)), shard_batch(mesh)
+        )
+        out = estep(state, batch, jax.random.key(0))
+        assert out["elbo"].shape == (32,)
+        assert np.all(np.isfinite(np.asarray(out["elbo"])))
