@@ -1,0 +1,60 @@
+"""Pallas logsumexp over the importance-sample axis.
+
+The reduction at the heart of the IW-LL evaluator (SURVEY.md §2.4
+"logsumexp over importance samples"): [k, B] elbo samples -> [B]
+``logsumexp`` in one VMEM pass (max + exp + sum + log fused, no
+intermediate [k, B] exp materialized in HBM). Columns are tiled over a
+1-D grid so arbitrary batch sizes stream through VMEM.
+
+Oracle: ``jax.nn.logsumexp`` / the scan-based online accumulator in
+``lvae_tpu.eval.iwll`` (tested allclose).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(x_ref, out_ref):
+    x = x_ref[:]
+    m = jnp.max(x, axis=0, keepdims=True)
+    # guard fully -inf columns (empty padding): exp(-inf - -inf)
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.sum(jnp.exp(x - safe_m), axis=0, keepdims=True)
+    out_ref[:] = (safe_m + jnp.log(s)) * jnp.where(jnp.isfinite(m), 1.0, 0.0) + jnp.where(
+        jnp.isfinite(m), 0.0, -jnp.inf
+    )
+
+
+def pallas_logsumexp(x: jnp.ndarray, block_cols: int = 512) -> jnp.ndarray:
+    """logsumexp over axis 0 of a 2-D [k, B] array -> [B]."""
+    if x.ndim != 2:
+        raise ValueError(f"expected [k, B], got shape {x.shape}")
+    k, b = x.shape
+    nblk = pl.cdiv(b, block_cols)
+    pad = nblk * block_cols - b
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((1, nblk * block_cols), x.dtype),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(x)
+    return out[0, :b]

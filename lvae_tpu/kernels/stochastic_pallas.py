@@ -1,0 +1,215 @@
+"""Fused stochastic-block kernel: on-core RNG + reparameterization + KL.
+
+The Pallas fusion target from SURVEY.md §3.4 / BASELINE.json: the
+elementwise chain between the (mu, log_var) conv projections and the
+latent injection —
+
+    sigma_q = exp(0.5 lvq); eps ~ N(0,1); z = muq + sigma_q * eps
+    kl = 0.5 (e^{lvq-lvp} + (muq-mup)^2 e^{-lvp} - 1 - lvq + lvp)
+
+— executed in ONE VMEM pass per latent tensor. Versus the XLA path this
+(a) generates the Gaussian noise on-core via the TPU PRNG + Box–Muller
+(no threefry kernel, no eps round-trip through HBM), and (b) carries a
+hand-written elementwise VJP so the backward pass is a single fused
+kernel too (cotangents of z and kl -> all four parameter grads), with
+only the four parameter maps + the recovered eps as residuals.
+
+The convs themselves stay in XLA where they tile onto the MXU. The
+pure-XLA oracle lives in ``lvae_tpu.ops.stochastic``; tests assert the
+KL matches exactly and the z stream is distributionally correct (the
+PRNG stream necessarily differs from jax.random's threefry).
+
+Kernels run with ``interpret=True`` off-TPU so CPU CI exercises the same
+code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 bits -> uniform in (0, 1]: top 24 bits scaled, never zero.
+
+    Mosaic has no uint32->f32 cast; the 24-bit value is bitcast to int32
+    (always positive) and converted from there."""
+    i24 = pltpu.bitcast(
+        jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
+    )
+    return (i24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+
+
+def _kl_terms(qmu, qlv, pmu, plv):
+    return 0.5 * (
+        jnp.exp(qlv - plv) + (qmu - pmu) ** 2 * jnp.exp(-plv) - 1.0 - qlv + plv
+    )
+
+
+def _fwd_kernel(seed_ref, qmu_ref, qlv_ref, pmu_ref, plv_ref, z_ref, kl_ref):
+    """On-TPU path: Gaussian noise generated on-core (PRNG + Box-Muller).
+    Each grid block reseeds with its program id so blocks draw
+    independent streams."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = qmu_ref.shape
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform_from_bits(b1)
+    u2 = _uniform_from_bits(b2)
+    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+    qmu, qlv = qmu_ref[:], qlv_ref[:]
+    pmu, plv = pmu_ref[:], plv_ref[:]
+    z_ref[:] = qmu + jnp.exp(0.5 * qlv) * eps
+    kl_ref[:] = _kl_terms(qmu, qlv, pmu, plv)
+
+
+def _fwd_eps_kernel(eps_ref, qmu_ref, qlv_ref, pmu_ref, plv_ref, z_ref, kl_ref):
+    """Off-TPU (interpret) path: eps precomputed by jax.random — the TPU
+    interpreter's prng_random_bits returns zeros, so CI feeds real noise
+    through the same fused math instead."""
+    qmu, qlv = qmu_ref[:], qlv_ref[:]
+    pmu, plv = pmu_ref[:], plv_ref[:]
+    z_ref[:] = qmu + jnp.exp(0.5 * qlv) * eps_ref[:]
+    kl_ref[:] = _kl_terms(qmu, qlv, pmu, plv)
+
+
+def _bwd_kernel(qmu_ref, qlv_ref, pmu_ref, plv_ref, eps_ref, gz_ref, gkl_ref,
+                dqmu_ref, dqlv_ref, dpmu_ref, dplv_ref):
+    qmu, qlv = qmu_ref[:], qlv_ref[:]
+    pmu, plv = pmu_ref[:], plv_ref[:]
+    eps, gz, gkl = eps_ref[:], gz_ref[:], gkl_ref[:]
+
+    diff = qmu - pmu
+    inv_pvar = jnp.exp(-plv)
+    var_ratio = jnp.exp(qlv - plv)
+    sigma_q = jnp.exp(0.5 * qlv)
+
+    # z = qmu + sigma_q * eps ;  kl = 0.5(var_ratio + diff^2 inv_pvar - 1 - qlv + plv)
+    dqmu_ref[:] = gz + gkl * diff * inv_pvar
+    dqlv_ref[:] = gz * 0.5 * sigma_q * eps + gkl * 0.5 * (var_ratio - 1.0)
+    dpmu_ref[:] = -gkl * diff * inv_pvar
+    dplv_ref[:] = gkl * 0.5 * (1.0 - var_ratio - diff * diff * inv_pvar)
+
+
+# Elementwise tiling: everything is flattened to (rows, _LANES) and
+# streamed through VMEM in (_BLOCK_ROWS, _LANES) blocks — bounded VMEM
+# footprint for any tensor size (full-array specs OOM scoped vmem for
+# production batch sizes).
+_LANES = 1024          # 8 fp32 sublanes x 128 lanes
+_BLOCK_ROWS = 256
+
+
+def _to_tiles(x: jnp.ndarray):
+    n = x.size
+    rows = pl.cdiv(n, _LANES)
+    pad = rows * _LANES - n
+    flat = x.reshape(-1)
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(rows, _LANES)
+
+
+def _from_tiles(t: jnp.ndarray, shape, n: int):
+    return t.reshape(-1)[:n].reshape(shape)
+
+
+def _tiled_specs(n_tensors: int, rows: int):
+    block = (min(_BLOCK_ROWS, rows), _LANES)
+    spec = pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return [spec] * n_tensors, pl.cdiv(rows, block[0])
+
+
+def _run_fwd(key: jax.Array, qmu, qlv, pmu, plv):
+    shape, n = qmu.shape, qmu.size
+    tiles = [_to_tiles(t) for t in (qmu, qlv, pmu, plv)]
+    rows = tiles[0].shape[0]
+    specs, grid = _tiled_specs(4, rows)
+    out_sds = jax.ShapeDtypeStruct(tiles[0].shape, qmu.dtype)
+    out_specs = tuple(_tiled_specs(2, rows)[0])
+
+    if _interpret():
+        eps = jax.random.normal(key, (rows, _LANES), dtype=qmu.dtype)
+        z, kl = pl.pallas_call(
+            _fwd_eps_kernel,
+            out_shape=(out_sds, out_sds),
+            grid=(grid,),
+            in_specs=_tiled_specs(5, rows)[0],
+            out_specs=out_specs,
+            interpret=True,
+        )(eps, *tiles)
+    else:
+        z, kl = pl.pallas_call(
+            _fwd_kernel,
+            out_shape=(out_sds, out_sds),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
+            out_specs=out_specs,
+        )(_seed_from_key(key), *tiles)
+    return _from_tiles(z, shape, n), _from_tiles(kl, shape, n)
+
+
+def _run_bwd(qmu, qlv, pmu, plv, eps, gz, gkl):
+    shape, n = qmu.shape, qmu.size
+    tiles = [_to_tiles(t) for t in (qmu, qlv, pmu, plv, eps, gz, gkl)]
+    rows = tiles[0].shape[0]
+    specs, grid = _tiled_specs(7, rows)
+    out_sds = jax.ShapeDtypeStruct(tiles[0].shape, qmu.dtype)
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(out_sds,) * 4,
+        grid=(grid,),
+        in_specs=specs,
+        out_specs=tuple(_tiled_specs(4, rows)[0]),
+        interpret=_interpret(),
+    )(*tiles)
+    return tuple(_from_tiles(o, shape, n) for o in outs)
+
+
+def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    return data[-1:].astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_sample_kl(
+    key: jax.Array,
+    q_mu: jnp.ndarray,
+    q_log_var: jnp.ndarray,
+    p_mu: jnp.ndarray,
+    p_log_var: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(z, kl_elementwise) — fused equivalent of
+    ``ops.stochastic.normal_rsample`` + ``ops.stochastic.gaussian_kl``."""
+    z, kl = _run_fwd(key, q_mu, q_log_var, p_mu, p_log_var)
+    return z, kl
+
+
+def _fwd_rule(key, q_mu, q_log_var, p_mu, p_log_var):
+    z, kl = _run_fwd(key, q_mu, q_log_var, p_mu, p_log_var)
+    # recover eps instead of storing it: eps = (z - mu) * exp(-0.5 lv)
+    eps = (z - q_mu) * jnp.exp(-0.5 * q_log_var)
+    return (z, kl), (q_mu, q_log_var, p_mu, p_log_var, eps)
+
+
+def _bwd_rule(residuals, cotangents):
+    q_mu, q_log_var, p_mu, p_log_var, eps = residuals
+    gz, gkl = cotangents
+    dqmu, dqlv, dpmu, dplv = _run_bwd(
+        q_mu, q_log_var, p_mu, p_log_var, eps, gz, gkl
+    )
+    return None, dqmu, dqlv, dpmu, dplv
+
+
+fused_sample_kl.defvjp(_fwd_rule, _bwd_rule)
