@@ -49,6 +49,9 @@ class ExperimentConfig:
     data_dep_init: bool = False
     seed: int = 54321
     # infrastructure
+    precision: str = "fp32"               # 'fp32' | 'bf16' (conv compute dtype)
+    remat: bool = False                   # rematerialize res blocks (fit bigger batches)
+    steps_per_call: int = 1               # train steps fused per dispatch (lax.scan)
     fused: str = "none"                   # 'none' | 'pallas'
     num_data_shards: int = 1              # data-parallel devices
     log_interval: int = 1000
@@ -59,7 +62,10 @@ class ExperimentConfig:
     output_dir: str = "./output"
     run_name: Optional[str] = None        # None -> timestamp + descr string
     load: Optional[str] = None            # resume / evaluate a saved run
+    auto_resume: bool = False             # restore latest ckpt of this run if any
     dry_run: bool = False                 # no checkpoints, no TB
+    profile: Optional[str] = None         # "A-B": trace steps A..B to run dir
+    debug_nans: bool = False              # jax_debug_nans (SURVEY.md §5)
 
     def describe(self) -> str:
         """boilr-style auto-description string for the run directory name
@@ -127,7 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=d.max_steps)
     p.add_argument("--ema-decay", type=float, default=d.ema_decay)
     # infrastructure
+    p.add_argument("--precision", default=d.precision, choices=["fp32", "bf16"],
+                   help="conv compute dtype; params/KL/likelihood stay fp32")
     p.add_argument("--fused", default=d.fused, choices=["none", "pallas"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize residual blocks (memory for FLOPs)")
+    p.add_argument("--steps-per-call", type=int, default=d.steps_per_call,
+                   help="train steps fused into one dispatch (amortizes host overhead)")
     p.add_argument("--num-data-shards", type=int, default=d.num_data_shards)
     p.add_argument("--log-interval", type=int, default=d.log_interval)
     p.add_argument("--test-interval", type=int, default=d.test_interval)
@@ -137,7 +149,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=d.output_dir)
     p.add_argument("--run-name", default=None)
     p.add_argument("--load", default=None, help="run name (or dir) to resume from")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="restore this run's latest checkpoint if one exists")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--profile", default=None, metavar="A-B",
+                   help="capture a profiler trace for steps A..B (e.g. 20-30)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     return p
 
 
@@ -170,6 +188,9 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         ema_decay=args.ema_decay,
         data_dep_init=args.data_dep_init,
         seed=args.seed,
+        precision=args.precision,
+        remat=args.remat,
+        steps_per_call=args.steps_per_call,
         fused=args.fused,
         num_data_shards=args.num_data_shards,
         log_interval=args.log_interval,
@@ -180,7 +201,10 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         output_dir=args.output_dir,
         run_name=args.run_name,
         load=args.load,
+        auto_resume=args.auto_resume,
         dry_run=args.dry_run,
+        profile=args.profile,
+        debug_nans=args.debug_nans,
     )
 
 

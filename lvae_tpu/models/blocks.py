@@ -12,10 +12,14 @@ tile onto the MXU; batchnorm/activation/dropout epilogues are fused by XLA.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# compute dtype: None -> fp32. With bf16, convs/batchnorm run on the MXU in
+# bf16 while params (and the ELBO math in ops/) stay fp32 (SURVEY.md §2.5
+# "bf16 compute / fp32 params+KL accumulation").
 
 NONLINEARITIES: dict[str, Callable] = {
     "relu": nn.relu,
@@ -45,10 +49,14 @@ class GateLayer(nn.Module):
 
     channels: int
     kernel_size: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Conv(2 * self.channels, (self.kernel_size, self.kernel_size))(x)
+        h = nn.Conv(
+            2 * self.channels, (self.kernel_size, self.kernel_size),
+            dtype=self.dtype,
+        )(x)
         a, b = jnp.split(h, 2, axis=-1)
         return a * nn.sigmoid(b)
 
@@ -70,9 +78,10 @@ class ResidualBlock(nn.Module):
     dropout_rate: float = 0.0
     batchnorm: bool = True
     gated: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = get_nonlin(self.nonlin)
         h = x
         for ch in self.block_type:
@@ -82,12 +91,14 @@ class ResidualBlock(nn.Module):
                         use_running_average=not train,
                         momentum=0.9,
                         epsilon=1e-5,
+                        dtype=self.dtype,
                     )(h)
             elif ch == "a":
                 h = act(h)
             elif ch == "c":
                 h = nn.Conv(
-                    self.channels, (self.kernel_size, self.kernel_size)
+                    self.channels, (self.kernel_size, self.kernel_size),
+                    dtype=self.dtype,
                 )(h)
             elif ch == "d":
                 if self.dropout_rate > 0.0:
@@ -95,8 +106,8 @@ class ResidualBlock(nn.Module):
             else:
                 raise ValueError(f"unknown block_type char {ch!r} in {self.block_type!r}")
         if self.gated:
-            h = GateLayer(self.channels)(h)
-        return x + h
+            h = GateLayer(self.channels, dtype=self.dtype)(h)
+        return (x + h.astype(x.dtype)).astype(x.dtype)
 
 
 class ResBlockWithResampling(nn.Module):
@@ -118,26 +129,29 @@ class ResBlockWithResampling(nn.Module):
     dropout_rate: float = 0.0
     batchnorm: bool = True
     gated: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.resample:
             if self.mode == "bottom-up":
                 x = nn.Conv(
                     self.channels,
                     (self.kernel_size, self.kernel_size),
                     strides=(2, 2),
+                    dtype=self.dtype,
                 )(x)
             elif self.mode == "top-down":
                 x = nn.ConvTranspose(
                     self.channels,
                     (self.kernel_size, self.kernel_size),
                     strides=(2, 2),
+                    dtype=self.dtype,
                 )(x)
             else:
                 raise ValueError(f"unknown mode {self.mode!r}")
         elif x.shape[-1] != self.channels:
-            x = nn.Conv(self.channels, (1, 1))(x)
+            x = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(x)
         return ResidualBlock(
             channels=self.channels,
             block_type=self.block_type,
@@ -146,7 +160,8 @@ class ResBlockWithResampling(nn.Module):
             dropout_rate=self.dropout_rate,
             batchnorm=self.batchnorm,
             gated=self.gated,
-        )(x, train=train)
+            dtype=self.dtype,
+        )(x, train)
 
 
 class MergeLayer(nn.Module):
@@ -165,11 +180,12 @@ class MergeLayer(nn.Module):
     nonlin: str = "elu"
     dropout_rate: float = 0.0
     batchnorm: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, a: jnp.ndarray, b: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = jnp.concatenate([a, b], axis=-1)
-        x = nn.Conv(self.channels, (1, 1))(x)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(x)
         if self.merge_type == "linear":
             return x
         if self.merge_type == "residual":
@@ -179,5 +195,6 @@ class MergeLayer(nn.Module):
                 nonlin=self.nonlin,
                 dropout_rate=self.dropout_rate,
                 batchnorm=self.batchnorm,
-            )(x, train=train)
+                dtype=self.dtype,
+            )(x, train)
         raise ValueError(f"unknown merge_type {self.merge_type!r}")

@@ -31,10 +31,13 @@ class BernoulliLikelihood(nn.Module):
     """Bernoulli over binary images; params are logits."""
 
     color_ch: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: Optional[jnp.ndarray]) -> Tuple[Optional[jnp.ndarray], dict]:
-        logits = nn.Conv(self.color_ch, (1, 1), name="param_conv")(h)
+        logits = nn.Conv(
+            self.color_ch, (1, 1), name="param_conv", dtype=self.dtype
+        )(h).astype(jnp.float32)
         mean = nn.sigmoid(logits)
         data = {"params": logits, "mean": mean, "mode": jnp.round(mean)}
         ll = bernoulli_log_prob(x, logits) if x is not None else None
@@ -45,10 +48,13 @@ class GaussianLikelihood(nn.Module):
     """Gaussian with learned per-pixel mean and log-variance."""
 
     color_ch: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x):
-        params = nn.Conv(2 * self.color_ch, (1, 1), name="param_conv")(h)
+        params = nn.Conv(
+            2 * self.color_ch, (1, 1), name="param_conv", dtype=self.dtype
+        )(h).astype(jnp.float32)
         mean, _ = split_params(params)
         data = {"params": params, "mean": mean, "mode": mean}
         if x is None:
@@ -64,10 +70,13 @@ class DiscretizedLogisticLikelihood(nn.Module):
     n_bins: int = 256
     # floor on log_scale: keeps the discretization well-conditioned
     log_scale_min: float = -7.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x):
-        params = nn.Conv(2 * self.color_ch, (1, 1), name="param_conv")(h)
+        params = nn.Conv(
+            2 * self.color_ch, (1, 1), name="param_conv", dtype=self.dtype
+        )(h).astype(jnp.float32)
         mean, log_scale = split_params(params)
         log_scale = jnp.maximum(log_scale, self.log_scale_min)
         data = {
@@ -90,11 +99,15 @@ class DiscretizedLogisticMixLikelihood(nn.Module):
     color_ch: int
     n_components: int = 10
     n_bins: int = 256
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x):
         k = self.n_components
-        params = nn.Conv(k * (1 + 3 * self.color_ch), (1, 1), name="param_conv")(h)
+        params = nn.Conv(
+            k * (1 + 3 * self.color_ch), (1, 1), name="param_conv",
+            dtype=self.dtype,
+        )(h).astype(jnp.float32)
         # mixture mean (for viz): sum_k pi_k * mu_k, coeffs ignored
         logit_pi = params[..., :k]
         means = params[..., k : k + k * self.color_ch]
@@ -113,20 +126,24 @@ class DiscretizedLogisticMixLikelihood(nn.Module):
         return ll, data
 
 
-def make_likelihood(name: str, color_ch: int) -> nn.Module:
+def make_likelihood(name: str, color_ch: int, dtype=None) -> nn.Module:
     if name == "bernoulli":
-        return BernoulliLikelihood(color_ch)
+        return BernoulliLikelihood(color_ch, dtype=dtype)
     if name == "gaussian":
-        return GaussianLikelihood(color_ch)
+        return GaussianLikelihood(color_ch, dtype=dtype)
     if name == "discretized_logistic":
-        return DiscretizedLogisticLikelihood(color_ch)
+        return DiscretizedLogisticLikelihood(color_ch, dtype=dtype)
     if name == "discretized_logistic_mix":
-        return DiscretizedLogisticMixLikelihood(color_ch)
+        return DiscretizedLogisticMixLikelihood(color_ch, dtype=dtype)
     raise ValueError(f"unknown likelihood {name!r}; choose from {LIKELIHOODS}")
 
 
 def sample_from_likelihood(
-    key: jax.Array, name: str, params: jnp.ndarray, n_bins: int = 256
+    key: jax.Array,
+    name: str,
+    params: jnp.ndarray,
+    n_bins: int = 256,
+    n_components: int = 10,
 ) -> jnp.ndarray:
     """Draw an image sample given a head's params array (outside the model)."""
     if name == "bernoulli":
@@ -140,8 +157,50 @@ def sample_from_likelihood(
         q = jnp.round(jnp.clip(cont, 0.0, 1.0) * (n_bins - 1)) / (n_bins - 1)
         return q
     if name == "discretized_logistic_mix":
-        raise NotImplementedError(
-            "mixture sampling: select component via Gumbel-max then logistic "
-            "rsample — use mean for visualization for now"
+        return _sample_dlogistic_mix(
+            key, params, n_components=n_components, n_bins=n_bins
         )
     raise ValueError(f"unknown likelihood {name!r}")
+
+
+def _sample_dlogistic_mix(
+    key: jax.Array, params: jnp.ndarray, n_components: int = 10, n_bins: int = 256
+) -> jnp.ndarray:
+    """PixelCNN++-style mixture sampling: Gumbel-max component selection,
+    logistic draw per channel, linear channel autoregression, discretize.
+    Infers C from the params channel count: K*(1+3C)."""
+    k = n_components
+    c = (params.shape[-1] // k - 1) // 3
+    logit_pi = params[..., :k]
+    means = params[..., k : k + k * c].reshape(params.shape[:-1] + (k, c))
+    log_scales = jnp.clip(
+        params[..., k + k * c : k + 2 * k * c].reshape(params.shape[:-1] + (k, c)),
+        min=-7.0,
+    )
+    coeffs = jnp.tanh(
+        params[..., k + 2 * k * c : k + 3 * k * c].reshape(params.shape[:-1] + (k, c))
+    )
+
+    k_sel, k_draw = jax.random.split(key)
+    g = jax.random.gumbel(k_sel, logit_pi.shape, dtype=params.dtype)
+    sel = jnp.argmax(logit_pi + g, axis=-1)  # [..., H, W]
+    take = lambda a: jnp.take_along_axis(a, sel[..., None, None], axis=-2)[..., 0, :]
+    m, ls, co = take(means), take(log_scales), take(coeffs)
+
+    u = jax.random.uniform(
+        k_draw, m.shape, dtype=params.dtype, minval=1e-5, maxval=1.0 - 1e-5
+    )
+    draw = jnp.exp(ls) * (jnp.log(u) - jnp.log1p(-u))  # centered logistic
+
+    x0 = jnp.clip(m[..., 0] + draw[..., 0], -1.0, 1.0)
+    if c == 1:
+        out = x0[..., None]
+    else:
+        x1 = jnp.clip(m[..., 1] + co[..., 0] * x0 + draw[..., 1], -1.0, 1.0)
+        x2 = jnp.clip(
+            m[..., 2] + co[..., 1] * x0 + co[..., 2] * x1 + draw[..., 2], -1.0, 1.0
+        )
+        out = jnp.stack([x0, x1, x2], axis=-1)
+    # [-1,1] -> [0,1], snapped to the n_bins grid
+    out01 = (out + 1.0) / 2.0
+    return jnp.round(out01 * (n_bins - 1)) / (n_bins - 1)

@@ -67,6 +67,8 @@ class TopDownLayer(nn.Module):
     batchnorm: bool = True
     gated: bool = False
     fused: bool = False
+    dtype: Optional[Any] = None
+    remat: bool = False   # rematerialize residual blocks (memory vs FLOPs)
 
     def setup(self):
         common = dict(
@@ -74,6 +76,7 @@ class TopDownLayer(nn.Module):
             nonlin=self.nonlin,
             dropout_rate=self.dropout_rate,
             batchnorm=self.batchnorm,
+            dtype=self.dtype,
         )
         if not self.is_top:
             self.merge = MergeLayer(
@@ -88,6 +91,7 @@ class TopDownLayer(nn.Module):
             c_out=self.n_filters,
             transform_p_params=not self.is_top,
             fused=self.fused,
+            dtype=self.dtype,
         )
         if self.is_top and self.learn_top_prior:
             h, w = self.top_prior_hw
@@ -96,10 +100,15 @@ class TopDownLayer(nn.Module):
                 nn.initializers.zeros,
                 (1, h, w, 2 * self.z_dim),
             )
+        Block = (
+            nn.remat(ResBlockWithResampling, static_argnums=(2,))
+            if self.remat
+            else ResBlockWithResampling
+        )
         blocks = []
         for i in range(self.n_res_blocks):
             blocks.append(
-                ResBlockWithResampling(
+                Block(
                     mode="top-down",
                     channels=self.n_filters,
                     resample=i < self.upsample_steps,
@@ -142,7 +151,7 @@ class TopDownLayer(nn.Module):
             p_in = td_in
 
         if bu_value is not None:
-            q_in = bu_value if self.is_top else self.merge(bu_value, td_in, train=train)
+            q_in = bu_value if self.is_top else self.merge(bu_value, td_in, train)
         else:
             q_in = None
 
@@ -158,9 +167,9 @@ class TopDownLayer(nn.Module):
             # Residual bypass around the latent injection, merged at the
             # pre-upsampling scale (design choice; reference merges the
             # upsampled stream — equivalent capability, cheaper here).
-            h = self.skip_merge(h, td_in, train=train)
+            h = self.skip_merge(h, td_in, train)
         for blk in self.det_blocks:
-            h = blk(h, train=train)
+            h = blk(h, train)
         return h, s
 
 
@@ -185,6 +194,8 @@ class LadderVAE(nn.Module):
     merge_type: str = "residual"
     no_initial_downscaling: bool = False
     fused: bool = False
+    dtype: Optional[Any] = None   # conv compute dtype (None=fp32; bf16 for MXU)
+    remat: bool = False           # rematerialize res blocks (memory vs FLOPs)
 
     @property
     def n_layers(self) -> int:
@@ -207,6 +218,7 @@ class LadderVAE(nn.Module):
             nonlin=self.nonlin,
             dropout_rate=self.dropout_rate,
             batchnorm=self.batchnorm,
+            dtype=self.dtype,
         )
         scales = self._scales()
         total = scales[-1]
@@ -218,8 +230,15 @@ class LadderVAE(nn.Module):
             )
 
         # --- bottom-up (inference) path ---
+        Block = (
+            nn.remat(ResBlockWithResampling, static_argnums=(2,))
+            if self.remat
+            else ResBlockWithResampling
+        )
         stem_stride = (1, 1) if self.no_initial_downscaling else (2, 2)
-        self.first_conv = nn.Conv(self.n_filters, (5, 5), strides=stem_stride)
+        self.first_conv = nn.Conv(
+            self.n_filters, (5, 5), strides=stem_stride, dtype=self.dtype
+        )
         self.first_block = ResidualBlock(
             channels=self.n_filters, gated=self.gated, **common
         )
@@ -228,7 +247,7 @@ class LadderVAE(nn.Module):
             layer_blocks = []
             for j in range(self.blocks_per_layer):
                 layer_blocks.append(
-                    ResBlockWithResampling(
+                    Block(
                         mode="bottom-up",
                         channels=self.n_filters,
                         resample=j < self.downsample[i],
@@ -256,6 +275,7 @@ class LadderVAE(nn.Module):
                     merge_type=self.merge_type,
                     gated=self.gated,
                     fused=self.fused,
+                    remat=self.remat,
                     **common,
                 )
             )
@@ -264,7 +284,7 @@ class LadderVAE(nn.Module):
         final = []
         if not self.no_initial_downscaling:
             final.append(
-                ResBlockWithResampling(
+                Block(
                     mode="top-down",
                     channels=self.n_filters,
                     resample=True,
@@ -276,18 +296,20 @@ class LadderVAE(nn.Module):
             ResidualBlock(channels=self.n_filters, gated=self.gated, **common)
         )
         self.final_blocks = final
-        self.likelihood_head = make_likelihood(self.likelihood, self.color_ch)
+        self.likelihood_head = make_likelihood(
+            self.likelihood, self.color_ch, dtype=self.dtype
+        )
 
     # ------------------------------------------------------------------
     # passes
     # ------------------------------------------------------------------
     def bottomup_pass(self, x: jnp.ndarray, *, train: bool) -> list[jnp.ndarray]:
         act = get_nonlin(self.nonlin)
-        h = self.first_block(act(self.first_conv(x)), train=train)
+        h = self.first_block(act(self.first_conv(x)), train)
         bu_values = []
         for layer_blocks in self.bottom_up_layers:
             for blk in layer_blocks:
-                h = blk(h, train=train)
+                h = blk(h, train)
             bu_values.append(h)
         return bu_values
 
@@ -323,7 +345,7 @@ class LadderVAE(nn.Module):
             )
             layer_data[i] = s
         for blk in self.final_blocks:
-            td = blk(td, train=train)
+            td = blk(td, train)
 
         info = {
             "z": [d["z"] for d in layer_data],

@@ -37,6 +37,7 @@ class NormalStochasticBlock(nn.Module):
     kernel_size: int = 3
     transform_p_params: bool = True  # False at the top layer (params direct)
     fused: bool = False  # use the Pallas fused sample+KL kernel
+    dtype: Optional[Any] = None      # conv compute dtype; latent math is fp32
 
     @nn.compact
     def __call__(
@@ -50,7 +51,9 @@ class NormalStochasticBlock(nn.Module):
     ) -> dict[str, Any]:
         k = (self.kernel_size, self.kernel_size)
         if self.transform_p_params:
-            p_params = nn.Conv(2 * self.c_vars, k, name="conv_in_p")(p_in)
+            p_params = nn.Conv(
+                2 * self.c_vars, k, name="conv_in_p", dtype=self.dtype
+            )(p_in)
         else:
             if p_in.shape[-1] != 2 * self.c_vars:
                 raise ValueError(
@@ -59,9 +62,14 @@ class NormalStochasticBlock(nn.Module):
                 )
             p_params = p_in
 
+        # reparameterization + KL stay fp32 regardless of conv dtype
+        p_params = p_params.astype(jnp.float32)
+
         q_params = None
         if q_in is not None:
-            q_params = nn.Conv(2 * self.c_vars, k, name="conv_in_q")(q_in)
+            q_params = nn.Conv(
+                2 * self.c_vars, k, name="conv_in_q", dtype=self.dtype
+            )(q_in).astype(jnp.float32)
 
         sampling_params = q_params if q_params is not None else p_params
         mu, log_var = split_params(sampling_params)
@@ -90,7 +98,7 @@ class NormalStochasticBlock(nn.Module):
             # (reference's constant_layers option, SURVEY.md §3.3).
             z = jnp.broadcast_to(z[:1], z.shape)
 
-        out = nn.Conv(self.c_out, k, name="conv_out")(z)
+        out = nn.Conv(self.c_out, k, name="conv_out", dtype=self.dtype)(z)
         return {
             "z": z,
             "out": out,

@@ -54,11 +54,15 @@ def shard_batch(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
-def make_dp_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+def make_dp_train_step(
+    train_step, mesh: Mesh, axis_name: str = "data", idx_batch_axis: int = 0
+):
     """Wrap a (state, data, idx) -> (state, metrics) step with data-parallel
-    shardings: state + dataset replicated, idx (hence batch) sharded."""
+    shardings: state + dataset replicated, idx (hence batch) sharded.
+    ``idx_batch_axis=1`` for the [K, batch] multi-step index matrix."""
     rep = replicated(mesh)
-    batch = shard_batch(mesh, axis_name)
+    spec = [None] * idx_batch_axis + [axis_name]
+    batch = NamedSharding(mesh, P(*spec))
     return jax.jit(
         train_step,
         in_shardings=(rep, rep, batch),

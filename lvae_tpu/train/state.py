@@ -155,6 +155,29 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(model, tx: optax.GradientTransformation, cfg: LossConfig, k: int):
+    """K train steps per dispatch under ``lax.scan``.
+
+    The single-step program is host-dispatch-bound at realistic batch
+    sizes (~4-5 ms of Python/runtime overhead per call vs <2 ms of
+    compute); scanning K steps inside one jitted call amortizes that
+    overhead K-fold. `idx` is a [K, batch] index matrix (K consecutive
+    batches). Returns the state after K steps and the last step's
+    metrics (the EMA inside the state still sees every step)."""
+    step = make_train_step(model, tx, cfg)
+
+    def multi_step(state: TrainState, data: jnp.ndarray, idx: jnp.ndarray):
+        def body(carry, idx_row):
+            new_state, metrics = step(carry, data, idx_row)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, idx)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return multi_step
+
+
 def make_eval_step(model, cfg: LossConfig):
     """Deterministic test-set step: per-sample ELBO terms on a uint8 batch.
 

@@ -42,6 +42,7 @@ from lvae_tpu.train.state import (
 
 def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
     """Model factory (reference LVAEExperiment.make_model)."""
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else None
     return LadderVAE(
         color_ch=bundle.color_ch,
         z_dims=tuple(cfg.zdims),
@@ -61,6 +62,8 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         merge_type=cfg.merge_layers,
         no_initial_downscaling=cfg.no_initial_downscaling,
         fused=cfg.fused == "pallas",
+        dtype=dtype,
+        remat=cfg.remat,
     )
 
 
@@ -188,6 +191,15 @@ class Trainer:
         run_name = cfg.make_run_name()
         run_dir = os.path.join(cfg.output_dir, run_name)
 
+        if cfg.debug_nans:
+            # the moral equivalent of a sanitizer for this codebase
+            # (SURVEY.md §5 "race detection / sanitizers")
+            jax.config.update("jax_debug_nans", True)
+        profile_range = None
+        if cfg.profile:
+            a, b = cfg.profile.split("-")
+            profile_range = (int(a), int(b))
+
         ckpt = None
         logger = MetricLogger(run_dir, enable_tb=not cfg.dry_run)
         if not cfg.dry_run:
@@ -203,6 +215,20 @@ class Trainer:
             restore = CheckpointManager(load_dir, keep=cfg.keep_checkpoints)
             state = restore.restore(state)
             print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
+        elif cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None:
+            # failure recovery: restart with the same run name picks up the
+            # latest checkpoint automatically (SURVEY.md §5 "failure
+            # detection ... orbax auto-restore of latest step on startup")
+            state = ckpt.restore(state)
+            print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
+
+        k = max(1, cfg.steps_per_call)
+        if k > 1:
+            from lvae_tpu.train.state import make_multi_train_step
+
+            base_step = make_multi_train_step(exp.model, exp.tx, exp.loss_cfg, k)
+        else:
+            base_step = make_train_step(exp.model, exp.tx, exp.loss_cfg)
 
         if cfg.num_data_shards > 1:
             from lvae_tpu.parallel import make_dp_train_step, make_mesh
@@ -214,12 +240,10 @@ class Trainer:
                 )
             mesh = make_mesh(cfg.num_data_shards)
             train_step = make_dp_train_step(
-                make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+                base_step, mesh, idx_batch_axis=1 if k > 1 else 0
             )
         else:
-            train_step = jax.jit(
-                make_train_step(exp.model, exp.tx, exp.loss_cfg), donate_argnums=(0,)
-            )
+            train_step = jax.jit(base_step, donate_argnums=(0,))
 
         print(
             f"run {run_name}: {exp.train_data.n} train / {exp.test_data.n} test "
@@ -233,31 +257,62 @@ class Trainer:
         t_last = time.time()
         steps_since_log = 0
         data = exp.train_data.array
-        try:
-            while step < cfg.max_steps:
-                for idx in exp.train_data.epoch_indices(host_rng, cfg.batch_size):
-                    if step >= cfg.max_steps:
-                        break
-                    state, _ = train_step(state, data, jnp.asarray(idx))
-                    step += 1
-                    steps_since_log += 1
 
-                    if step % cfg.log_interval == 0:
-                        ema = jax.device_get(state.ema)
-                        dt = time.time() - t_last
-                        ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
-                        logger.log_train(step, ema, images_per_sec=ips)
-                        t_last = time.time()
-                        steps_since_log = 0
-                    if step % cfg.test_interval == 0:
-                        m = exp.evaluate(state)
-                        logger.log_test(step, m)
-                        if not cfg.dry_run:
-                            exp.dump_images(state, run_dir, step, logger)
-                        t_last = time.time()
-                        steps_since_log = 0
-                    if ckpt is not None and step % cfg.checkpoint_interval == 0:
-                        ckpt.save(state)
+        def index_stream():
+            """Endless stream of [batch] (k=1) or [k, batch] index arrays,
+            reshuffling each epoch."""
+            buf = []
+            while True:
+                for idx in exp.train_data.epoch_indices(host_rng, cfg.batch_size):
+                    if k == 1:
+                        yield idx
+                    else:
+                        buf.append(idx)
+                        if len(buf) == k:
+                            yield np.stack(buf)
+                            buf = []
+
+        def crossed(interval):
+            return (step // interval) > ((step - k) // interval)
+
+        tracing = False
+        try:
+            for idx in index_stream():
+                if step >= cfg.max_steps:
+                    break
+                if profile_range and not tracing and step >= profile_range[0]:
+                    jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+                    tracing = True
+                state, _ = train_step(state, data, jnp.asarray(idx))
+                step += k
+                steps_since_log += k
+                if profile_range and tracing and step >= profile_range[1]:
+                    jax.block_until_ready(state.ema)
+                    jax.profiler.stop_trace()
+                    print(
+                        f"profiler trace for steps "
+                        f"{profile_range[0]}-{profile_range[1]} written to "
+                        f"{os.path.join(run_dir, 'trace')}", flush=True,
+                    )
+                    profile_range = None
+                    tracing = False
+
+                if crossed(cfg.log_interval):
+                    ema = jax.device_get(state.ema)
+                    dt = time.time() - t_last
+                    ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
+                    logger.log_train(step, ema, images_per_sec=ips)
+                    t_last = time.time()
+                    steps_since_log = 0
+                if crossed(cfg.test_interval):
+                    m = exp.evaluate(state)
+                    logger.log_test(step, m)
+                    if not cfg.dry_run:
+                        exp.dump_images(state, run_dir, step, logger)
+                    t_last = time.time()
+                    steps_since_log = 0
+                if ckpt is not None and crossed(cfg.checkpoint_interval):
+                    ckpt.save(state)
         except KeyboardInterrupt:
             print("interrupted — saving final checkpoint", flush=True)
 

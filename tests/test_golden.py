@@ -1,0 +1,68 @@
+"""Golden-value regression tests (SURVEY.md §4): tiny fixed-seed model,
+fixed input -> exact ELBO. Catches silent numerics changes across
+refactors. Update the constant ONLY on an intentional semantic change.
+
+Golden values are CPU fp32 with JAX_DEFAULT_MATMUL_PRECISION=highest
+(set in conftest.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lvae_tpu.models import LadderVAE, sample_from_likelihood
+
+GOLDEN_ELBO = -149.437439
+GOLDEN_TOL = 5e-3  # fp32 reassociation headroom across jax versions
+
+
+def test_golden_elbo():
+    model = LadderVAE(
+        color_ch=1, z_dims=(4, 4), blocks_per_layer=1, n_filters=8,
+        downsample=(1, 1), img_size=(16, 16), data_size=(14, 14),
+        likelihood="bernoulli", dropout_rate=0.0,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.uniform(size=(2, 14, 14, 1)) < 0.5).astype(np.float32))
+    k = jax.random.key(0)
+    v = model.init({"params": k, "sample": k, "dropout": k}, x, train=True)
+    out = model.apply(v, x, train=False, rngs={"sample": jax.random.key(1)})
+    elbo = float(out["ll"].mean() - out["kl_sep"].sum(0).mean())
+    assert abs(elbo - GOLDEN_ELBO) < GOLDEN_TOL, f"golden ELBO drifted: {elbo}"
+
+
+def test_mixture_sampling_shapes_and_range(rng):
+    p = jnp.asarray(rng.standard_normal((2, 8, 8, 100)).astype(np.float32))
+    s = sample_from_likelihood(jax.random.key(0), "discretized_logistic_mix", p)
+    assert s.shape == (2, 8, 8, 3)
+    sn = np.asarray(s)
+    assert sn.min() >= 0.0 and sn.max() <= 1.0
+    # snapped to the 256-level grid
+    np.testing.assert_allclose(sn, np.round(sn * 255) / 255, atol=1e-6)
+
+
+def test_mixture_sampling_deterministic_per_key(rng):
+    p = jnp.asarray(rng.standard_normal((1, 4, 4, 100)).astype(np.float32))
+    a = sample_from_likelihood(jax.random.key(3), "discretized_logistic_mix", p)
+    b = sample_from_likelihood(jax.random.key(3), "discretized_logistic_mix", p)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixture_sampling_follows_dominant_component(rng):
+    # one component with overwhelming weight and a known mean -> samples
+    # concentrate near that mean
+    k = 5
+    shape = (1, 8, 8)
+    params = np.zeros((*shape, k * 10), np.float32)
+    params[..., 0] = 50.0            # logit_pi: component 0 dominates
+    # means reshape to (k, c) row-major: component 0's channels are the
+    # first c entries of the mean block
+    params[..., k : k + 3] = 0.5     # component-0 means = 0.5 ([-1,1] scale)
+    ls_start = k + k * 3
+    params[..., ls_start : ls_start + 3] = -6.0  # tiny scale, component 0
+    s = sample_from_likelihood(
+        jax.random.key(0), "discretized_logistic_mix", jnp.asarray(params),
+        n_components=k,
+    )
+    sn = np.asarray(s)
+    np.testing.assert_allclose(sn.mean(), 0.75, atol=0.02)  # (0.5+1)/2
