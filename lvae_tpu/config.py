@@ -52,6 +52,7 @@ class ExperimentConfig:
     precision: str = "fp32"               # 'fp32' | 'bf16' (conv compute dtype)
     remat: bool = False                   # rematerialize res blocks (fit bigger batches)
     steps_per_call: int = 1               # train steps fused per dispatch (lax.scan)
+    streaming: bool = False               # grain host pipeline instead of HBM-resident data
     fused: str = "none"                   # 'none' | 'pallas'
     num_data_shards: int = 1              # data-parallel devices
     log_interval: int = 1000
@@ -140,6 +141,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize residual blocks (memory for FLOPs)")
     p.add_argument("--steps-per-call", type=int, default=d.steps_per_call,
                    help="train steps fused into one dispatch (amortizes host overhead)")
+    p.add_argument("--streaming", action="store_true",
+                   help="stream batches from host via grain instead of HBM-resident data")
     p.add_argument("--num-data-shards", type=int, default=d.num_data_shards)
     p.add_argument("--log-interval", type=int, default=d.log_interval)
     p.add_argument("--test-interval", type=int, default=d.test_interval)
@@ -191,6 +194,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         precision=args.precision,
         remat=args.remat,
         steps_per_call=args.steps_per_call,
+        streaming=args.streaming,
         fused=args.fused,
         num_data_shards=args.num_data_shards,
         log_interval=args.log_interval,

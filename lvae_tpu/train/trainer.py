@@ -222,6 +222,9 @@ class Trainer:
             state = ckpt.restore(state)
             print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
 
+        if cfg.streaming:
+            return self._run_streaming(state, run_dir, logger, ckpt)
+
         k = max(1, cfg.steps_per_call)
         if k > 1:
             from lvae_tpu.train.state import make_multi_train_step
@@ -316,6 +319,54 @@ class Trainer:
         except KeyboardInterrupt:
             print("interrupted — saving final checkpoint", flush=True)
 
+        if ckpt is not None:
+            ckpt.save(state, wait=True)
+            ckpt.close()
+        logger.close()
+        return state
+
+    def _run_streaming(self, state, run_dir, logger, ckpt):
+        """Grain host-pipeline loop (``--streaming``): batches stream from
+        host worker threads; preprocessing still runs on device in the
+        jitted step. For datasets too large for HBM residency."""
+        cfg, exp = self.cfg, self.exp
+        from lvae_tpu.data.streaming import GrainLoader, make_streaming_train_step
+
+        if cfg.num_data_shards > 1 or cfg.steps_per_call > 1:
+            raise ValueError(
+                "--streaming currently supports single-chip, steps-per-call=1"
+            )
+        step_fn = jax.jit(
+            make_streaming_train_step(exp.model, exp.tx, exp.loss_cfg),
+            donate_argnums=(0,),
+        )
+        loader = GrainLoader(
+            np.asarray(exp.bundle.train), cfg.batch_size, seed=cfg.seed
+        )
+        step = int(state.step)
+        t_last = time.time()
+        steps_since_log = 0
+        print(f"streaming pipeline (grain), batch {cfg.batch_size}", flush=True)
+        try:
+            for batch in loader.epochs():
+                if step >= cfg.max_steps:
+                    break
+                state, _ = step_fn(state, jnp.asarray(batch))
+                step += 1
+                steps_since_log += 1
+                if step % cfg.log_interval == 0:
+                    ema = jax.device_get(state.ema)
+                    dt = time.time() - t_last
+                    ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
+                    logger.log_train(step, ema, images_per_sec=ips)
+                    t_last, steps_since_log = time.time(), 0
+                if step % cfg.test_interval == 0:
+                    logger.log_test(step, exp.evaluate(state))
+                    t_last, steps_since_log = time.time(), 0
+                if ckpt is not None and step % cfg.checkpoint_interval == 0:
+                    ckpt.save(state)
+        except KeyboardInterrupt:
+            print("interrupted — saving final checkpoint", flush=True)
         if ckpt is not None:
             ckpt.save(state, wait=True)
             ckpt.close()

@@ -156,3 +156,93 @@ class TestDevicePipeline:
 
         v = step(ds.array, jnp.arange(16), jax.random.key(0))
         assert np.isfinite(float(v))
+
+
+class TestNativeParser:
+    """C++ .amat parser vs numpy oracle (built lazily via native/Makefile)."""
+
+    def test_binary_roundtrip(self, tmp_path, rng):
+        from lvae_tpu.data.native import load_amat_binary, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        arr = (rng.uniform(size=(50, 784)) < 0.3).astype(np.uint8)
+        p = tmp_path / "b.amat"
+        np.savetxt(p, arr, fmt="%d")
+        out = load_amat_binary(str(p))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_binary_float_tokens(self, tmp_path, rng):
+        # Larochelle files use "0.0000000" style tokens
+        from lvae_tpu.data.native import load_amat_binary, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        arr = (rng.uniform(size=(10, 20)) < 0.5).astype(np.uint8)
+        p = tmp_path / "f.amat"
+        np.savetxt(p, arr.astype(np.float64), fmt="%.7f")
+        out = load_amat_binary(str(p))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_float_roundtrip(self, tmp_path, rng):
+        from lvae_tpu.data.native import load_amat_float, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        arr = rng.standard_normal((30, 17)).astype(np.float32)
+        p = tmp_path / "g.amat"
+        np.savetxt(p, arr, fmt="%.6f")
+        out = load_amat_float(str(p))
+        np.testing.assert_allclose(out, arr, atol=1e-6)
+
+    def test_no_trailing_newline(self, tmp_path):
+        from lvae_tpu.data.native import load_amat_binary, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        p = tmp_path / "n.amat"
+        p.write_text("1 0 1\n0 1 0")  # no trailing newline
+        out = load_amat_binary(str(p))
+        np.testing.assert_array_equal(out, [[1, 0, 1], [0, 1, 0]])
+
+    def test_missing_file_returns_none(self):
+        from lvae_tpu.data.native import load_amat_binary, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        assert load_amat_binary("/nonexistent/x.amat") is None
+
+
+class TestStreaming:
+    def test_grain_loader_batches(self, rng):
+        from lvae_tpu.data.streaming import GrainLoader
+
+        arr = rng.integers(0, 256, (40, 4, 4, 1), np.uint8)
+        it = GrainLoader(arr, batch_size=16, seed=0, num_threads=2).epochs()
+        b = next(it)
+        assert b.shape == (16, 4, 4, 1) and b.dtype == np.uint8
+
+    def test_streaming_trainer(self):
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.train import Experiment, Trainer
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, batch_size=16, dropout=0.0,
+            max_steps=5, log_interval=100, test_interval=1000, seed=0,
+            dry_run=True, streaming=True,
+        )
+        state = Trainer(Experiment(cfg)).run()
+        assert int(state.step) == 5
+
+    def test_streaming_rejects_shards(self):
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.train import Experiment, Trainer
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, batch_size=16, max_steps=2,
+            dry_run=True, streaming=True, num_data_shards=8,
+        )
+        with pytest.raises(ValueError, match="streaming"):
+            Trainer(Experiment(cfg)).run()
