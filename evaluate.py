@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p.add_argument("--ll", action="store_true",
                    help="compute importance-weighted log-likelihood")
     p.add_argument("--iw-samples", type=int, default=100)
+    p.add_argument("--logsumexp", default="streaming",
+                   choices=["streaming", "pallas"],
+                   help="IW logsumexp implementation (scan accumulator or Pallas kernel)")
     p.add_argument("--test-batch-size", type=int, default=None)
     p.add_argument("--nimages", type=int, default=64, help="prior samples in the grid")
     p.add_argument("--data-dir", default=None, help="override the run's data dir")
@@ -59,7 +62,9 @@ def main(argv=None):
         print(f"  kl/layer_{i}: {v:.2f}")
 
     if args.ll:
-        iw = evaluate_iwll(exp, state, n_samples=args.iw_samples)
+        iw = evaluate_iwll(
+            exp, state, n_samples=args.iw_samples, logsumexp_impl=args.logsumexp
+        )
         print(
             f"IW log-likelihood ({iw['n_samples']} samples, "
             f"{iw['n_images']} images): {iw['iw_ll']:.2f} nats  "

@@ -44,6 +44,7 @@ class ExperimentConfig:
     beta_anneal: int = 0                  # KL warmup steps (0 = off)
     lr: float = 3e-4
     max_grad_norm: Optional[float] = None
+    grad_accum: int = 1                   # micro-steps per optimizer update
     max_steps: int = 100_000
     ema_decay: float = 0.999
     data_dep_init: bool = False
@@ -131,6 +132,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KL warmup steps (0 = off)")
     p.add_argument("--lr", type=float, default=d.lr)
     p.add_argument("--max-grad-norm", type=float, default=None)
+    p.add_argument("--grad-accum", type=int, default=d.grad_accum,
+                   help="accumulate gradients over N micro-batches")
     p.add_argument("--max-steps", type=int, default=d.max_steps)
     p.add_argument("--ema-decay", type=float, default=d.ema_decay)
     # infrastructure
@@ -187,6 +190,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         beta_anneal=args.beta_anneal,
         lr=args.lr,
         max_grad_norm=args.max_grad_norm,
+        grad_accum=args.grad_accum,
         max_steps=args.max_steps,
         ema_decay=args.ema_decay,
         data_dep_init=args.data_dep_init,

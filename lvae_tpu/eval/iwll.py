@@ -43,9 +43,14 @@ def streaming_logsumexp_final(carry) -> jnp.ndarray:
 
 
 def make_iwll_step(
-    model, cfg: LossConfig, n_samples: int
+    model, cfg: LossConfig, n_samples: int, logsumexp_impl: str = "streaming"
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], jnp.ndarray]:
-    """Build a jit-able step: uint8 test batch -> per-sample IW-LL [B]."""
+    """Build a jit-able step: uint8 test batch -> per-sample IW-LL [B].
+
+    ``logsumexp_impl``: 'streaming' (online accumulator inside the scan,
+    O(B) memory — the default) or 'pallas' (stack the [k, B] elbo matrix
+    and reduce it with the fused Pallas kernel — BASELINE.json's
+    "log-sum-exp in Pallas"; at k=100 the matrix is small either way)."""
 
     def iwll_step(state: TrainState, batch_u8: jnp.ndarray, key: jax.Array):
         x = eval_preprocess_batch(batch_u8, cfg.preprocess)
@@ -53,16 +58,25 @@ def make_iwll_step(
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
 
-        def body(carry, key_i):
+        def elbo_of(key_i):
             out = model.apply(variables, x, train=False, rngs={"sample": key_i})
-            elbo = out["ll"] - out["kl_sep"].sum(axis=0)  # [B]
-            return streaming_logsumexp_update(carry, elbo), None
+            return out["ll"] - out["kl_sep"].sum(axis=0)  # [B]
 
         keys = jax.random.split(key, n_samples)
-        carry, _ = jax.lax.scan(
-            body, streaming_logsumexp_init(x.shape[0]), keys
-        )
-        return streaming_logsumexp_final(carry) - jnp.log(float(n_samples))
+        if logsumexp_impl == "pallas":
+            from lvae_tpu.kernels import pallas_logsumexp
+
+            _, elbos = jax.lax.scan(lambda c, k_: (c, elbo_of(k_)), None, keys)
+            lse = pallas_logsumexp(elbos)
+        else:
+            def body(carry, key_i):
+                return streaming_logsumexp_update(carry, elbo_of(key_i)), None
+
+            carry, _ = jax.lax.scan(
+                body, streaming_logsumexp_init(x.shape[0]), keys
+            )
+            lse = streaming_logsumexp_final(carry)
+        return lse - jnp.log(float(n_samples))
 
     return iwll_step
 
@@ -74,13 +88,16 @@ def evaluate_iwll(
     batch_size: int | None = None,
     max_batches: int | None = None,
     seed: int = 0,
+    logsumexp_impl: str = "streaming",
 ) -> dict:
     """Full test-set IW-LL sweep. Returns mean LL (nats/image) and bpd."""
     import numpy as np
 
     cfg = experiment.loss_cfg
     bs = batch_size or min(experiment.cfg.test_batch_size, experiment.test_data.n)
-    step = jax.jit(make_iwll_step(experiment.model, cfg, n_samples))
+    step = jax.jit(
+        make_iwll_step(experiment.model, cfg, n_samples, logsumexp_impl)
+    )
     total, count = 0.0, 0
     for bi, idx in enumerate(experiment.test_data.sequential_indices(bs)):
         if max_batches is not None and bi >= max_batches:

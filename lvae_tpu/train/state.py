@@ -52,14 +52,20 @@ def _nats_to_bpd(nelbo_nats: jnp.ndarray, dims: int) -> jnp.ndarray:
 
 
 def make_optimizer(
-    lr: float = 3e-4, max_grad_norm: Optional[float] = None
+    lr: float = 3e-4,
+    max_grad_norm: Optional[float] = None,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """Adamax, the reference's optimizer (SURVEY.md §2.1 make_optimizer;
     torch.optim.Adamax defaults: betas=(0.9, 0.999), eps=1e-8 — optax
-    matches), with optional global-norm gradient clipping."""
+    matches), with optional global-norm gradient clipping and gradient
+    accumulation over `grad_accum` micro-steps (optax.MultiSteps;
+    SURVEY.md §2.5 — absent in the reference, optional here)."""
     tx = optax.adamax(lr, b1=0.9, b2=0.999, eps=1e-8)
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 
@@ -197,6 +203,7 @@ def make_eval_step(model, cfg: LossConfig):
             "kl": kl,
             "elbo": out["ll"] - kl,
             "kl_layers": out["kl_sep"],
+            "kl_spatial": out["kl_spatial"],  # list of [B, h_i, w_i]
             "out_mean": out["out_mean"],
         }
 

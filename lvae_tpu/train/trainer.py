@@ -89,9 +89,12 @@ class Experiment:
         )
         self.model = make_model(cfg, self.bundle)
         self.loss_cfg = make_loss_config(cfg, self.bundle)
-        self.tx = make_optimizer(cfg.lr, cfg.max_grad_norm)
+        self.tx = make_optimizer(cfg.lr, cfg.max_grad_norm, cfg.grad_accum)
         self.train_data = DeviceDataset(self.bundle.train)
         self.test_data = DeviceDataset(self.bundle.test)
+        # jit once; rebuilding per evaluate() call would recompile at every
+        # test interval (jax.jit caches by function identity)
+        self._eval_step = jax.jit(make_eval_step(self.model, self.loss_cfg))
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
@@ -123,7 +126,7 @@ class Experiment:
     def evaluate(self, state: TrainState, max_batches: Optional[int] = None) -> dict:
         """Full test-set ELBO (deterministic preprocessing). Variable-size
         last batch is padded and masked so only two program shapes compile."""
-        eval_step = jax.jit(make_eval_step(self.model, self.loss_cfg))
+        eval_step = self._eval_step
         bs = min(self.cfg.test_batch_size, self.test_data.n)
         tot = {"ll": 0.0, "kl": 0.0, "elbo": 0.0}
         kl_layers = np.zeros(len(self.cfg.zdims))
@@ -161,7 +164,7 @@ class Experiment:
             np.asarray(samples), os.path.join(img_dir, f"sample_{step}.png")
         )
         # reconstructions: first 32 test images, interleaved orig/recon
-        eval_step = jax.jit(make_eval_step(self.model, self.loss_cfg))
+        eval_step = self._eval_step
         n = min(32, self.test_data.n)
         idx = np.arange(n)
         batch = self.test_data.gather(jnp.asarray(idx))
@@ -174,9 +177,26 @@ class Experiment:
         g2 = save_image_grid(
             pairs, os.path.join(img_dir, f"recon_{step}.png"), ncol=8
         )
+        # spatial KL heatmaps: batch-mean per-location KL of each layer,
+        # upsampled (nearest) to a common resolution, one tile per layer
+        # (the per-location KL the stochastic block preserves — SURVEY.md
+        # §2.1 lib/stochastic.py)
+        maps = []
+        hmax = max(m.shape[1] for m in out["kl_spatial"])
+        wmax = max(m.shape[2] for m in out["kl_spatial"])
+        for m in out["kl_spatial"]:
+            mm = np.asarray(m).mean(axis=0)  # [h, w]
+            mm = mm / max(mm.max(), 1e-8)
+            mm = np.repeat(np.repeat(mm, hmax // mm.shape[0], 0), wmax // mm.shape[1], 1)
+            maps.append(mm[..., None])
+        g3 = save_image_grid(
+            np.stack(maps), os.path.join(img_dir, f"kl_spatial_{step}.png"),
+            ncol=len(maps), pad_value=1.0,
+        )
         if logger is not None:
             logger.log_images("samples", step, g1)
             logger.log_images("reconstructions", step, g2)
+            logger.log_images("kl_spatial", step, g3)
 
 
 class Trainer:

@@ -148,3 +148,18 @@ class TestEvaluateCLI:
         assert "IW log-likelihood" in out
         assert "kl/layer_1" in out
         assert (tmp_path / "r" / "imgs").exists()
+
+
+class TestIWLLPallasImpl:
+    def test_pallas_impl_matches_streaming(self):
+        exp = tiny_exp()
+        state = exp.init_state()
+        batch = exp.test_data.gather(jnp.arange(16))
+        key = jax.random.key(5)
+        a = jax.jit(make_iwll_step(exp.model, exp.loss_cfg, 8, "streaming"))(
+            state, batch, key
+        )
+        b = jax.jit(make_iwll_step(exp.model, exp.loss_cfg, 8, "pallas"))(
+            state, batch, key
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)

@@ -224,3 +224,20 @@ class TestMultiStep:
         )
         state = Trainer(exp).run()
         assert int(state.step) == 6
+
+
+class TestGradAccum:
+    def test_accumulates_every_k(self):
+        # params change only every grad_accum micro-steps
+        from lvae_tpu.train import make_train_step
+
+        exp = Experiment(tiny_cfg(grad_accum=2))
+        step_fn = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+        state = exp.init_state()
+        p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+        state, _ = step_fn(state, exp.train_data.array, jnp.arange(16))
+        p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        np.testing.assert_array_equal(p0, p1)  # first micro-step: no update
+        state, _ = step_fn(state, exp.train_data.array, jnp.arange(16) + 16)
+        p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        assert np.abs(p2 - p1).max() > 0  # second micro-step applies
