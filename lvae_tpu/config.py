@@ -68,6 +68,7 @@ class ExperimentConfig:
     dry_run: bool = False                 # no checkpoints, no TB
     profile: Optional[str] = None         # "A-B": trace steps A..B to run dir
     debug_nans: bool = False              # jax_debug_nans (SURVEY.md §5)
+    defer_metrics: bool = False           # no per-log D2H readbacks (see DESIGN.md)
 
     def describe(self) -> str:
         """boilr-style auto-description string for the run directory name
@@ -162,6 +163,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a profiler trace for steps A..B (e.g. 20-30)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--defer-metrics", action="store_true",
+                   help="skip per-interval metric readbacks (console shows step/img/s "
+                        "only; EMA metrics fetched once at the end). Avoids D2H "
+                        "transfers that stall remote-TPU dispatch pipelines.")
     return p
 
 
@@ -213,6 +218,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         dry_run=args.dry_run,
         profile=args.profile,
         debug_nans=args.debug_nans,
+        defer_metrics=args.defer_metrics,
     )
 
 
