@@ -119,3 +119,37 @@ class TestDPEvalStep:
         out = estep(state, batch, jax.random.key(0))
         assert out["elbo"].shape == (32,)
         assert np.all(np.isfinite(np.asarray(out["elbo"])))
+
+
+class TestShardedCheckpoint:
+    def test_checkpoint_roundtrip_under_sharding(self, tmp_path):
+        """Save a state trained on the 8-device mesh, restore it, continue
+        (SURVEY.md §4: checkpoint save/restore under sharding)."""
+        from lvae_tpu.train import CheckpointManager
+
+        exp = tiny_exp()
+        mesh = make_mesh(8)
+        step = make_dp_train_step(
+            make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+        )
+        state = exp.init_state()
+        for i in range(3):
+            idx = jax.device_put(jnp.arange(16) + 16 * i, shard_batch(mesh))
+            state, _ = step(state, exp.train_data.array, idx)
+
+        mngr = CheckpointManager(str(tmp_path / "run"), keep=1)
+        mngr.save(state, wait=True)
+
+        restored = mngr.restore(tiny_exp().init_state())
+        assert int(restored.step) == 3
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+        # restored state trains on under the mesh
+        idx = jax.device_put(jnp.arange(16), shard_batch(mesh))
+        restored, metrics = step(restored, exp.train_data.array, idx)
+        assert int(restored.step) == 4
+        assert np.isfinite(float(metrics["elbo"]))
