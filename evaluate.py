@@ -71,7 +71,7 @@ def main(argv=None):
             f"bpd {iw['iw_bpd']:.4f}", flush=True,
         )
 
-    exp.dump_images(state, run_dir, int(state.step))
+    exp.dump_images(state, run_dir, int(state.step), n_samples=args.nimages)
     print(f"wrote sample/recon grids to {os.path.join(run_dir, 'imgs')}")
 
 

@@ -17,7 +17,7 @@ with a per-step PRNG key is distribution-identical (different stream).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

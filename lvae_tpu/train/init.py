@@ -16,8 +16,6 @@ per conv; the jitted capture program is compiled once and reused.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

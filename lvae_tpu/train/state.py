@@ -13,7 +13,6 @@ keeps the step fully async — no per-step readbacks).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax

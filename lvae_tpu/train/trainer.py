@@ -150,13 +150,14 @@ class Experiment:
         return metrics
 
     def dump_images(self, state: TrainState, run_dir: str, step: int,
-                    logger: Optional[MetricLogger] = None) -> None:
+                    logger: Optional[MetricLogger] = None,
+                    n_samples: int = 64) -> None:
         """Prior-sample and reconstruction grids (reference additional_testing)."""
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         samples = self.model.apply(
-            variables, 64, method="sample_prior",
+            variables, n_samples, method="sample_prior",
             rngs={"sample": jax.random.key(step)},
         )["out_mean"]
         img_dir = os.path.join(run_dir, "imgs")

@@ -237,3 +237,45 @@ class TestBlocks:
         assert out["kl_elementwise"] is None
         assert out["z"].shape == (2, 4, 4, 3)
         assert out["out"].shape == (2, 4, 4, 8)
+
+
+class TestDeepLadder:
+    def test_many_layers_mixed_downsample(self, rng):
+        # BASELINE config 4 shape: deep ladder, some layers keep resolution
+        x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+        model = LadderVAE(
+            color_ch=3,
+            z_dims=(8, 8, 8, 8, 8, 8),
+            downsample=(1, 0, 1, 0, 1, 0),
+            blocks_per_layer=1,
+            n_filters=8,
+            img_size=(32, 32),
+            data_size=(32, 32),
+            likelihood="discretized_logistic_mix",
+            dropout_rate=0.0,
+            stochastic_skip=True,
+        )
+        variables, out = init_and_run(model, x)
+        assert out["kl_sep"].shape == (6, 2)
+        # scales: stem 16 -> L0 8 -> L1 8 -> L2 4 -> L3 4 -> L4 2 -> L5 2
+        assert out["z"][0].shape == (2, 8, 8, 8)
+        assert out["z"][1].shape == (2, 8, 8, 8)
+        assert out["z"][5].shape == (2, 2, 2, 8)
+        assert np.all(np.isfinite(np.asarray(out["ll"])))
+        gen = model.apply(
+            variables, 3, method="sample_prior",
+            rngs={"sample": jax.random.key(1)},
+        )
+        assert gen["out_mean"].shape == (3, 32, 32, 3)
+
+    def test_downsample_length_mismatch_raises(self, rng):
+        x = jnp.asarray(rng.uniform(size=(1, 16, 16, 1)).astype(np.float32))
+        model = tiny_model(downsample=(1,))
+        with pytest.raises(ValueError, match="one entry per layer"):
+            init_and_run(model, x)
+
+    def test_img_size_not_divisible_raises(self, rng):
+        x = jnp.asarray(rng.uniform(size=(1, 14, 14, 1)).astype(np.float32))
+        model = tiny_model(downsample=(1, 3), img_size=(16, 16))
+        with pytest.raises(ValueError, match="not divisible"):
+            init_and_run(model, x)

@@ -234,10 +234,17 @@ class TestGradAccum:
         exp = Experiment(tiny_cfg(grad_accum=2))
         step_fn = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
         state = exp.init_state()
-        p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+
+        def snapshot(s):
+            return [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(s.params)]
+
+        def max_diff(a, b):
+            return max(float(np.abs(x - y).max()) for x, y in zip(a, b))
+
+        p0 = snapshot(state)
         state, _ = step_fn(state, exp.train_data.array, jnp.arange(16))
-        p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
-        np.testing.assert_array_equal(p0, p1)  # first micro-step: no update
+        p1 = snapshot(state)
+        assert max_diff(p0, p1) == 0.0  # first micro-step: no update
         state, _ = step_fn(state, exp.train_data.array, jnp.arange(16) + 16)
-        p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
-        assert np.abs(p2 - p1).max() > 0  # second micro-step applies
+        p2 = snapshot(state)
+        assert max_diff(p1, p2) > 0.0  # second micro-step applies the update
