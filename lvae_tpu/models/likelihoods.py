@@ -37,7 +37,7 @@ class BernoulliLikelihood(nn.Module):
     def __call__(self, h: jnp.ndarray, x: Optional[jnp.ndarray]) -> Tuple[Optional[jnp.ndarray], dict]:
         logits = nn.Conv(
             self.color_ch, (1, 1), name="param_conv", dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=nn.initializers.normal(1e-2),
         )(h).astype(jnp.float32)
         mean = nn.sigmoid(logits)
         data = {"params": logits, "mean": mean, "mode": jnp.round(mean)}
@@ -55,7 +55,7 @@ class GaussianLikelihood(nn.Module):
     def __call__(self, h, x):
         params = nn.Conv(
             2 * self.color_ch, (1, 1), name="param_conv", dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=nn.initializers.normal(1e-2),
         )(h).astype(jnp.float32)
         mean, _ = split_params(params)
         data = {"params": params, "mean": mean, "mode": mean}
@@ -78,7 +78,7 @@ class DiscretizedLogisticLikelihood(nn.Module):
     def __call__(self, h, x):
         params = nn.Conv(
             2 * self.color_ch, (1, 1), name="param_conv", dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=nn.initializers.normal(1e-2),
         )(h).astype(jnp.float32)
         mean, log_scale = split_params(params)
         log_scale = jnp.maximum(log_scale, self.log_scale_min)
@@ -109,7 +109,7 @@ class DiscretizedLogisticMixLikelihood(nn.Module):
         k = self.n_components
         params = nn.Conv(
             k * (1 + 3 * self.color_ch), (1, 1), name="param_conv",
-            dtype=self.dtype, kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, kernel_init=nn.initializers.normal(1e-2),
         )(h).astype(jnp.float32)
         # mixture mean (for viz): sum_k pi_k * mu_k, coeffs ignored
         logit_pi = params[..., :k]

@@ -50,16 +50,18 @@ class NormalStochasticBlock(nn.Module):
         constant_latent: bool = False,
     ) -> dict[str, Any]:
         k = (self.kernel_size, self.kernel_size)
-        # Zero-init the Gaussian parameter heads (NVAE practice): every
-        # layer starts at q = p = N(0,1), so the initial KL is exactly 0 and
-        # deep ladders don't blow up in the first optimizer steps (observed:
+        # Near-zero-init the Gaussian parameter heads (NVAE-style): every
+        # layer starts at q ~= p ~= N(0,1), so the initial KL is ~0 and deep
+        # ladders don't blow up in the first optimizer steps (observed:
         # 6-layer model's bottom KL starts ~7e4 and NaNs by step 2 with
-        # default conv init).
-        zeros = nn.initializers.zeros
+        # default conv init). A small nonzero scale (vs exact zeros) keeps
+        # gradients flowing into the encoder from step 0 instead of
+        # unlocking one ladder rung per step.
+        head_init = nn.initializers.normal(1e-2)
         if self.transform_p_params:
             p_params = nn.Conv(
                 2 * self.c_vars, k, name="conv_in_p", dtype=self.dtype,
-                kernel_init=zeros,
+                kernel_init=head_init,
             )(p_in)
         else:
             if p_in.shape[-1] != 2 * self.c_vars:
@@ -76,7 +78,7 @@ class NormalStochasticBlock(nn.Module):
         if q_in is not None:
             q_params = nn.Conv(
                 2 * self.c_vars, k, name="conv_in_q", dtype=self.dtype,
-                kernel_init=zeros,
+                kernel_init=head_init,
             )(q_in).astype(jnp.float32)
 
         sampling_params = q_params if q_params is not None else p_params

@@ -202,7 +202,8 @@ class TestTraining:
         assert np.isfinite(float(loss))
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
-        # every parameter receives gradient signal somewhere
+        # near-zero (not exactly zero) head init keeps gradient flowing
+        # through the whole ladder from step 0
         nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in leaves)
         assert nonzero / len(leaves) > 0.9
 
