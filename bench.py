@@ -17,7 +17,7 @@ Measured v5e headline numbers (this flagship config):
   single dispatch:  b256 ~66-88k img/s, b1024 ~286k, b2048 ~564k,
                     b4096 ~1.06M, b8192 bf16+remat ~2.19M
   fused dispatches (--steps-per-call): b64 spc32 ~508k, b256 spc8 ~560k,
-                    b256 spc32 ~1.65M, b2048 spc8 ~3.21M (321x baseline)
+                    b256 spc32 ~1.65M, b2048 spc8 ~3.2-4.9M (320-490x baseline)
 A single step is host-dispatch-bound (~4-5 ms wall per call vs ~150 us
 of compute at b256), so fusing K steps per dispatch with lax.scan and
 growing the batch both scale throughput until HBM runs out (fp32 b8192
