@@ -7,6 +7,12 @@ from lvae_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from lvae_tpu.parallel.multihost import (
+    global_mesh,
+    host_local_indices,
+    initialize,
+    make_global_batch_indices,
+)
 
 __all__ = [
     "make_dp_eval_step",
@@ -14,4 +20,8 @@ __all__ = [
     "make_mesh",
     "replicated",
     "shard_batch",
+    "global_mesh",
+    "host_local_indices",
+    "initialize",
+    "make_global_batch_indices",
 ]

@@ -1,0 +1,79 @@
+"""Multi-host / multi-slice initialization and per-host data sharding.
+
+The reference has no distributed support at all (SURVEY.md §2.5); this
+module completes the new framework's scaling story beyond one host:
+
+- ``initialize()`` wraps ``jax.distributed.initialize`` (TPU pods
+  auto-discover the coordinator from the TPU environment; explicit
+  coordinator args cover GPU/CPU clusters).
+- ``global_mesh()`` builds the data mesh over ALL devices of the job —
+  within a slice the gradient psum rides ICI; across slices XLA routes
+  the same collective over DCN, with no code changes (the scaling-book
+  recipe: mesh + shardings, let XLA place collectives).
+- ``host_local_indices()`` splits a global batch's index vector so each
+  host feeds only its addressable shard — with the device-resident
+  dataset replicated per host, every host gathers its slice locally and
+  ``jax.make_array_from_process_local_data`` assembles the global array.
+
+Single-host meshes (including the virtual 8-CPU-device test mesh) work
+through the same code path with ``process_count == 1``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from lvae_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-process JAX runtime (no-op if single-process
+    and no coordinator is configured). Call before any other jax use."""
+    if coordinator_address is None and num_processes is None:
+        # TPU pods: jax.distributed.initialize() discovers everything from
+        # the TPU metadata environment; on a plain single host it raises,
+        # which we treat as "single process".
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def global_mesh(axis_name: str = "data") -> jax.sharding.Mesh:
+    """1-D data mesh over every device in the job (all hosts/slices)."""
+    return make_mesh(devices=jax.devices(), axis_name=axis_name)
+
+
+def host_local_indices(global_idx: np.ndarray) -> np.ndarray:
+    """This host's contiguous slice of a [global_batch] index vector."""
+    n = jax.process_count()
+    if n == 1:
+        return global_idx
+    b = len(global_idx)
+    if b % n:
+        raise ValueError(f"global batch {b} not divisible by {n} processes")
+    per = b // n
+    i = jax.process_index()
+    return global_idx[i * per : (i + 1) * per]
+
+
+def make_global_batch_indices(
+    mesh: jax.sharding.Mesh, global_idx: np.ndarray, axis_name: str = "data"
+) -> jax.Array:
+    """Assemble the globally-sharded index array from per-host slices."""
+    sharding = shard_batch(mesh, axis_name)
+    local = host_local_indices(np.asarray(global_idx))
+    return jax.make_array_from_process_local_data(sharding, local)

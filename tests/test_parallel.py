@@ -153,3 +153,37 @@ class TestShardedCheckpoint:
         restored, metrics = step(restored, exp.train_data.array, idx)
         assert int(restored.step) == 4
         assert np.isfinite(float(metrics["elbo"]))
+
+
+class TestMultihost:
+    """Single-process semantics of the multi-host helpers (a real pod just
+    changes process_count; the code path is identical)."""
+
+    def test_global_mesh_and_indices(self):
+        from lvae_tpu.parallel import global_mesh, make_global_batch_indices
+
+        mesh = global_mesh()
+        assert mesh.shape == {"data": 8}
+        idx = make_global_batch_indices(mesh, np.arange(16))
+        assert idx.shape == (16,)
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
+        assert not idx.sharding.is_fully_replicated  # sharded on data
+
+    def test_host_local_indices_single_process(self):
+        from lvae_tpu.parallel import host_local_indices
+
+        idx = np.arange(32)
+        np.testing.assert_array_equal(host_local_indices(idx), idx)
+
+    def test_global_batch_feeds_train_step(self):
+        from lvae_tpu.parallel import global_mesh, make_global_batch_indices
+
+        exp = tiny_exp()
+        mesh = global_mesh()
+        step = make_dp_train_step(
+            make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+        )
+        state = exp.init_state()
+        idx = make_global_batch_indices(mesh, np.arange(16))
+        state, metrics = step(state, exp.train_data.array, idx)
+        assert np.isfinite(float(metrics["elbo"]))
