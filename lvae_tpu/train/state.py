@@ -183,6 +183,43 @@ def make_multi_train_step(model, tx: optax.GradientTransformation, cfg: LossConf
     return multi_step
 
 
+def make_eval_accum_step(model, cfg: LossConfig, n_layers: int):
+    """Evaluation step with an ON-DEVICE accumulator: masked sums of ll/kl/
+    elbo (+ per-layer kl and the valid count) are carried across test
+    batches so the host fetches ONE small dict after the sweep instead of
+    per-batch result vectors (device->host readbacks stall remote-TPU
+    dispatch pipelines — see DESIGN.md §2b). `n_valid` is a device scalar
+    so the padded final batch reuses the same compiled program."""
+
+    def init_carry():
+        return {
+            "ll": jnp.zeros(()),
+            "kl": jnp.zeros(()),
+            "elbo": jnp.zeros(()),
+            "kl_layers": jnp.zeros((n_layers,)),
+            "count": jnp.zeros(()),
+        }
+
+    def accum_step(state: TrainState, batch_u8, key, n_valid, carry):
+        x = eval_preprocess_batch(batch_u8, cfg.preprocess)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, x, train=False, rngs={"sample": key})
+        kl = out["kl_sep"].sum(axis=0)                      # [B]
+        mask = jnp.arange(x.shape[0]) < n_valid             # [B]
+        m = mask.astype(jnp.float32)
+        return {
+            "ll": carry["ll"] + jnp.sum(out["ll"] * m),
+            "kl": carry["kl"] + jnp.sum(kl * m),
+            "elbo": carry["elbo"] + jnp.sum((out["ll"] - kl) * m),
+            "kl_layers": carry["kl_layers"] + jnp.sum(out["kl_sep"] * m, axis=1),
+            "count": carry["count"] + jnp.sum(m),
+        }
+
+    return init_carry, accum_step
+
+
 def make_eval_step(model, cfg: LossConfig):
     """Deterministic test-set step: per-sample ELBO terms on a uint8 batch.
 

@@ -34,6 +34,7 @@ from lvae_tpu.train.state import (
     LossConfig,
     TrainState,
     create_train_state,
+    make_eval_accum_step,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -95,6 +96,10 @@ class Experiment:
         # jit once; rebuilding per evaluate() call would recompile at every
         # test interval (jax.jit caches by function identity)
         self._eval_step = jax.jit(make_eval_step(self.model, self.loss_cfg))
+        self._eval_init, accum = make_eval_accum_step(
+            self.model, self.loss_cfg, len(cfg.zdims)
+        )
+        self._eval_accum = jax.jit(accum, donate_argnums=(4,))
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
@@ -125,27 +130,26 @@ class Experiment:
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState, max_batches: Optional[int] = None) -> dict:
         """Full test-set ELBO (deterministic preprocessing). Variable-size
-        last batch is padded and masked so only two program shapes compile."""
-        eval_step = self._eval_step
+        last batch is padded + masked (one compiled shape); all reductions
+        accumulate on device and the host fetches a single small dict at
+        the end (no per-batch readbacks — DESIGN.md §2b)."""
         bs = min(self.cfg.test_batch_size, self.test_data.n)
-        tot = {"ll": 0.0, "kl": 0.0, "elbo": 0.0}
-        kl_layers = np.zeros(len(self.cfg.zdims))
-        count = 0
+        carry = self._eval_init()
         for bi, idx in enumerate(self.test_data.sequential_indices(bs)):
             if max_batches is not None and bi >= max_batches:
                 break
             n_valid = len(idx)
-            if n_valid < bs:  # pad to the common shape, mask later
+            if n_valid < bs:  # pad to the common shape; masked on device
                 idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
             batch = self.test_data.gather(jnp.asarray(idx))
-            out = eval_step(state, batch, jax.random.fold_in(jax.random.key(0), bi))
-            mask = np.arange(bs) < n_valid
-            for k in tot:
-                tot[k] += float(np.asarray(out[k])[mask].sum())
-            kl_layers += np.asarray(out["kl_layers"])[:, mask].sum(axis=1)
-            count += n_valid
-        metrics = {k: v / max(count, 1) for k, v in tot.items()}
-        metrics["kl_layers"] = kl_layers / max(count, 1)
+            carry = self._eval_accum(
+                state, batch, jax.random.fold_in(jax.random.key(0), bi),
+                jnp.asarray(n_valid), carry,
+            )
+        tot = jax.device_get(carry)
+        count = max(float(tot["count"]), 1.0)
+        metrics = {k: float(tot[k]) / count for k in ("ll", "kl", "elbo")}
+        metrics["kl_layers"] = np.asarray(tot["kl_layers"]) / count
         metrics["bpd"] = -metrics["elbo"] / (self.loss_cfg.data_dims * np.log(2.0))
         return metrics
 
