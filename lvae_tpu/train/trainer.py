@@ -280,6 +280,13 @@ class Trainer:
             flush=True,
         )
 
+        if cfg.batch_size > exp.train_data.n:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} exceeds the training set "
+                f"({exp.train_data.n} images) — epoch batching would yield "
+                "nothing"
+            )
+
         host_rng = np.random.default_rng(cfg.seed)
         step = int(state.step)
         t_last = time.time()
@@ -392,10 +399,15 @@ class Trainer:
                 step += 1
                 steps_since_log += 1
                 if step % cfg.log_interval == 0:
-                    ema = jax.device_get(state.ema)
                     dt = time.time() - t_last
                     ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
-                    logger.log_train(step, ema, images_per_sec=ips)
+                    if cfg.defer_metrics:
+                        jax.block_until_ready(state.step)
+                        print(f"[train] step {step:>7d}  (metrics deferred)  "
+                              f"{ips:>8.0f} img/s", flush=True)
+                    else:
+                        logger.log_train(step, jax.device_get(state.ema),
+                                         images_per_sec=ips)
                     t_last, steps_since_log = time.time(), 0
                 if step % cfg.test_interval == 0:
                     logger.log_test(step, exp.evaluate(state))
@@ -404,6 +416,8 @@ class Trainer:
                     ckpt.save(state)
         except KeyboardInterrupt:
             print("interrupted — saving final checkpoint", flush=True)
+        if cfg.defer_metrics:
+            logger.log_train(step, jax.device_get(state.ema))
         if ckpt is not None:
             ckpt.save(state, wait=True)
             ckpt.close()

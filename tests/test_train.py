@@ -248,3 +248,41 @@ class TestGradAccum:
         state, _ = step_fn(state, exp.train_data.array, jnp.arange(16) + 16)
         p2 = snapshot(state)
         assert max_diff(p1, p2) > 0.0  # second micro-step applies the update
+
+
+class TestEdgeCases:
+    def test_batch_larger_than_dataset_raises(self):
+        exp = Experiment(tiny_cfg(batch_size=1024))  # synthetic has 512
+        with pytest.raises(ValueError, match="exceeds the training set"):
+            Trainer(exp).run()
+
+    def test_defer_metrics_mode(self, capsys):
+        exp = Experiment(tiny_cfg(max_steps=10, log_interval=5, defer_metrics=True))
+        state = Trainer(exp).run()
+        assert int(state.step) == 10
+        out = capsys.readouterr().out
+        assert "metrics deferred" in out
+        assert "elbo" in out  # final EMA printed at the end
+
+
+class TestBF16:
+    def test_bf16_forward_outputs_fp32(self, rng):
+        import jax.numpy as jnp
+        from lvae_tpu.models import LadderVAE
+
+        x = jnp.asarray((rng.uniform(size=(2, 14, 14, 1)) < 0.5).astype(np.float32))
+        model = LadderVAE(
+            color_ch=1, z_dims=(4, 4), blocks_per_layer=1, n_filters=8,
+            downsample=(1, 1), img_size=(16, 16), data_size=(14, 14),
+            likelihood="bernoulli", dropout_rate=0.0, dtype=jnp.bfloat16,
+        )
+        k = jax.random.key(0)
+        v = model.init({"params": k, "sample": k, "dropout": k}, x, train=True)
+        out = model.apply(v, x, train=False, rngs={"sample": jax.random.key(1)})
+        # ELBO math stays fp32 even with bf16 convs
+        assert out["ll"].dtype == jnp.float32
+        assert out["kl_sep"].dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(out["ll"])))
+        # params stay fp32
+        leaf = jax.tree_util.tree_leaves(v["params"])[0]
+        assert leaf.dtype == jnp.float32
