@@ -310,6 +310,12 @@ class Trainer:
         def crossed(interval):
             return (step // interval) > ((step - k) // interval)
 
+        # Bound the async dispatch queue: a cheap scalar sync every
+        # _PACE dispatches. Thousands of un-awaited dispatches stall this
+        # box's tunneled runtime outright (observed at ~1250 in flight),
+        # and on any backend an unbounded queue just buffers host-side.
+        _PACE = 64
+        calls_since_sync = 0
         tracing = False
         try:
             for idx in index_stream():
@@ -321,6 +327,10 @@ class Trainer:
                 state, _ = train_step(state, data, jnp.asarray(idx))
                 step += k
                 steps_since_log += k
+                calls_since_sync += 1
+                if calls_since_sync >= _PACE:
+                    jax.block_until_ready(state.step)
+                    calls_since_sync = 0
                 if profile_range and tracing and step >= profile_range[1]:
                     jax.block_until_ready(state.ema)
                     jax.profiler.stop_trace()
