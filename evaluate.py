@@ -48,8 +48,10 @@ def main(argv=None):
         cfg.data_dir = args.data_dir
 
     exp = Experiment(cfg)
+    # data_dep_init=False: the restore below overwrites the params anyway;
+    # re-running the stats pass here would waste one forward per conv
     state = CheckpointManager(run_dir, keep=cfg.keep_checkpoints).restore(
-        exp.init_state(), step=args.step
+        exp.init_state(data_dep_init=False), step=args.step
     )
     print(f"restored {run_dir} at step {int(state.step)}", flush=True)
 

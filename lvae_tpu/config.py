@@ -70,6 +70,23 @@ class ExperimentConfig:
     debug_nans: bool = False              # jax_debug_nans (SURVEY.md §5)
     defer_metrics: bool = False           # no per-log D2H readbacks (see DESIGN.md)
 
+    def __post_init__(self):
+        # `--zdims 8 8` without an explicit --downsample must not trip over
+        # the 3-entry class default deep inside the model: broadcast the
+        # default (or a single value) to one entry per layer, and reject any
+        # other mismatch here with a clear message instead of at trace time.
+        default_ds = (1, 1, 1)
+        if len(self.downsample) != len(self.zdims):
+            if tuple(self.downsample) == default_ds:
+                self.downsample = (1,) * len(self.zdims)
+            elif len(self.downsample) == 1:
+                self.downsample = tuple(self.downsample) * len(self.zdims)
+            else:
+                raise ValueError(
+                    f"--downsample needs one entry per stochastic layer: got "
+                    f"{len(self.downsample)} entries for {len(self.zdims)} zdims"
+                )
+
     def describe(self) -> str:
         """boilr-style auto-description string for the run directory name
         (SURVEY.md §2.2 'Run naming — timestamp + hyperparameter args')."""

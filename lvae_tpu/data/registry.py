@@ -89,10 +89,12 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
             PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
         )
     if name == "svhn":
+        # BASELINE.json config 3 specifies the plain (single-component)
+        # discretized logistic for SVHN, not the PixelCNN++ mixture.
         train, test = sources.load_svhn(data_dir)
         return DatasetBundle(
             name, train, test, (32, 32), (32, 32), 3,
-            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
+            PREPROCESS_DEQUANTIZE, "discretized_logistic",
         )
     if name == "celeba":
         train, test = sources.load_celeba(data_dir)

@@ -25,12 +25,12 @@ def _interpret() -> bool:
 def _kernel(x_ref, out_ref):
     x = x_ref[:]
     m = jnp.max(x, axis=0, keepdims=True)
-    # guard fully -inf columns (empty padding): exp(-inf - -inf)
+    # guard fully -inf columns (padding or fully-masked samples):
+    # exp(-inf - -inf) is NaN, and so is 0 * (safe_m + log(0)); select the
+    # -inf fallback with where instead of arithmetic masking.
     safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
     s = jnp.sum(jnp.exp(x - safe_m), axis=0, keepdims=True)
-    out_ref[:] = (safe_m + jnp.log(s)) * jnp.where(jnp.isfinite(m), 1.0, 0.0) + jnp.where(
-        jnp.isfinite(m), 0.0, -jnp.inf
-    )
+    out_ref[:] = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
 
 
 def pallas_logsumexp(x: jnp.ndarray, block_cols: int = 512) -> jnp.ndarray:

@@ -59,9 +59,13 @@ def _kl_terms(qmu, qlv, pmu, plv):
 
 def _fwd_kernel(seed_ref, qmu_ref, qlv_ref, pmu_ref, plv_ref, z_ref, kl_ref):
     """On-TPU path: Gaussian noise generated on-core (PRNG + Box-Muller).
-    Each grid block reseeds with its program id so blocks draw
-    independent streams."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    Seeding uses BOTH 32-bit words of the jax.random key plus the grid
+    block id as separate ``prng_seed`` operands — the hardware PRNG folds
+    each operand nonlinearly, so per-block streams of different calls are
+    not integer shifts of one another (an additive ``seed + program_id``
+    would alias block b of call s with block b+1 of call s-1)."""
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
     shape = qmu_ref.shape
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -178,8 +182,12 @@ def _run_bwd(qmu, qlv, pmu, plv, eps, gz, gkl):
 
 
 def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """Both 32-bit words of the key as int32 [2] (full key entropy)."""
     data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    return data[-1:].astype(jnp.int32)
+    if data.size < 2:  # defensive: some key impls carry a single word
+        data = jnp.concatenate([data, data])
+    # bitcast, not value-convert: words >= 2^31 must keep all their bits
+    return jax.lax.bitcast_convert_type(data[-2:], jnp.int32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -38,12 +38,16 @@ def initialize(
     and no coordinator is configured). Call before any other jax use."""
     if coordinator_address is None and num_processes is None:
         # TPU pods: jax.distributed.initialize() discovers everything from
-        # the TPU metadata environment; on a plain single host it raises,
-        # which we treat as "single process".
+        # the TPU metadata environment. Only the specific "no cluster
+        # detected" failure (ValueError: coordinator_address undefined) is
+        # treated as single-process; anything else — a genuine pod-init
+        # failure — must propagate, not silently degrade to one process.
         try:
             jax.distributed.initialize()
-        except Exception:
-            return
+        except ValueError as e:
+            if "coordinator_address" in str(e):
+                return  # no cluster environment detected: single process
+            raise
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -112,7 +112,10 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
+            # mutable=False (not []): flax returns (out, state) for ANY list,
+            # including an empty one — a bare `mutable=[]` would leave `out`
+            # a tuple and crash batchnorm-free configs downstream
+            mutable = False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]

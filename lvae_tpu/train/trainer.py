@@ -102,14 +102,21 @@ class Experiment:
         self._eval_accum = jax.jit(accum, donate_argnums=(4,))
 
     # ------------------------------------------------------------------
-    def init_state(self) -> TrainState:
+    def init_state(self, data_dep_init: Optional[bool] = None) -> TrainState:
+        """Fresh train state. ``data_dep_init=False`` skips the conv-rescale
+        stats pass even when the config requests it — callers that restore a
+        checkpoint over the result (evaluate.py, --load / --auto-resume)
+        would otherwise waste one forward per conv on init that is
+        immediately overwritten."""
+        if data_dep_init is None:
+            data_dep_init = self.cfg.data_dep_init
         x0 = jnp.zeros(
             (min(self.cfg.batch_size, 8), *self.bundle.data_shape), jnp.float32
         )
         state = create_train_state(
             self.model, self.tx, x0, self.cfg.seed, len(self.cfg.zdims)
         )
-        if self.cfg.data_dep_init:
+        if data_dep_init:
             k = jax.random.key(self.cfg.seed + 2)
             batch = np.asarray(self.bundle.train[: self.cfg.batch_size])
             from lvae_tpu.data.device import eval_preprocess_batch
@@ -232,7 +239,10 @@ class Trainer:
             save_config(run_dir, cfg)
             ckpt = CheckpointManager(run_dir, keep=cfg.keep_checkpoints)
 
-        state = exp.init_state()
+        will_restore = bool(cfg.load) or (
+            cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None
+        )
+        state = exp.init_state(data_dep_init=False if will_restore else None)
         if cfg.load:
             load_dir = cfg.load if os.path.isdir(cfg.load) else os.path.join(
                 cfg.output_dir, cfg.load

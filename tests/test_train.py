@@ -41,6 +41,7 @@ def tiny_cfg(**kw):
 
 
 class TestShortRun:
+    pytestmark = pytest.mark.slow
     def test_elbo_improves(self, capsys):
         exp = Experiment(tiny_cfg(max_steps=60, lr=3e-3))
         m0 = exp.evaluate(exp.init_state(), max_batches=2)
@@ -77,6 +78,7 @@ class TestShortRun:
 
 
 class TestCheckpoint:
+    pytestmark = pytest.mark.slow
     def test_roundtrip_and_resume(self, tmp_path):
         cfg = tiny_cfg(
             max_steps=10,
@@ -124,6 +126,7 @@ class TestCheckpoint:
 
 
 class TestDataDepInit:
+    pytestmark = pytest.mark.slow
     def test_unit_variance_after_init(self):
         exp = Experiment(tiny_cfg(batchnorm=False))
         state = exp.init_state()
@@ -184,6 +187,7 @@ class TestCLI:
 
 
 class TestMultiStep:
+    pytestmark = pytest.mark.slow
     def test_multi_step_matches_single(self):
         # K steps under lax.scan == K sequential single steps (same seeds)
         from lvae_tpu.train import make_train_step
@@ -227,6 +231,7 @@ class TestMultiStep:
 
 
 class TestGradAccum:
+    pytestmark = pytest.mark.slow
     def test_accumulates_every_k(self):
         # params change only every grad_accum micro-steps
         from lvae_tpu.train import make_train_step
@@ -256,6 +261,21 @@ class TestEdgeCases:
         with pytest.raises(ValueError, match="exceeds the training set"):
             Trainer(exp).run()
 
+    def test_no_batchnorm_training_step(self):
+        """Regression: with batchnorm=False there are no batch_stats, flax's
+        `mutable=[]` still returns a (out, state) tuple, and the train step
+        used to crash indexing it by key."""
+        from lvae_tpu.train import make_train_step
+
+        exp = Experiment(tiny_cfg(batchnorm=False))
+        step = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+        state = exp.init_state()
+        assert not state.batch_stats
+        state, metrics = step(state, exp.train_data.array, jnp.arange(16))
+        assert int(state.step) == 1
+        assert np.isfinite(float(metrics["elbo"]))
+
+    @pytest.mark.slow
     def test_defer_metrics_mode(self, capsys):
         exp = Experiment(tiny_cfg(max_steps=10, log_interval=5, defer_metrics=True))
         state = Trainer(exp).run()
@@ -266,6 +286,7 @@ class TestEdgeCases:
 
 
 class TestBF16:
+    @pytest.mark.slow
     def test_bf16_forward_outputs_fp32(self, rng):
         import jax.numpy as jnp
         from lvae_tpu.models import LadderVAE
