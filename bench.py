@@ -1,27 +1,30 @@
 #!/usr/bin/env python
-"""Training-throughput benchmark on the flagship config.
+"""Training-throughput benchmark on the flagship config — honest edition.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "images/sec/chip",
+     "vs_baseline": N, ...mfu/flops accounting fields}
 
 Baseline: BASELINE.json's authoritative target of 10,000 32x32 images/sec/
 chip on TPU v5e (the reference never published throughput — SURVEY.md §6),
 so vs_baseline = value / 10000.
 
-Measures the full jitted train step (device-resident batch gather +
-on-device preprocessing + fwd/bwd + Adamax + EMA) on the real chip, steady
-state, wall-clock over `--steps` steps with the async dispatch pipeline
-warm. ``--smoke`` shrinks everything for a fast plumbing check.
+Measurement methodology (VERDICT round 1 item 1 — this is load-bearing):
+on this box's tunneled ("axon") TPU runtime, ``jax.block_until_ready``
+returns BEFORE the queued work has executed, so a stopwatch around
+dispatches measures host dispatch rate, not compute (round 1 shipped
+3.86 M img/s = 33x over the chip's physical peak this way). The timed
+window therefore ends with a **value readback** (``jax.device_get`` of a
+metric produced by the final step, which depends on the whole donated
+state chain) — the clock cannot stop until every step has actually
+executed. The warmup phase also ends with a readback so the steady-state
+regime (readback-inclusive) is what gets measured.
 
-Measured v5e headline numbers (this flagship config):
-  single dispatch:  b256 ~66-88k img/s, b1024 ~286k, b2048 ~564k,
-                    b4096 ~1.06M, b8192 bf16+remat ~2.19M
-  fused dispatches (--steps-per-call): b64 spc32 ~508k, b256 spc8 ~560k,
-                    b256 spc32 ~1.65M, b2048 spc8 ~3.2-4.9M (320-490x baseline)
-A single step is host-dispatch-bound (~4-5 ms wall per call vs ~150 us
-of compute at b256), so fusing K steps per dispatch with lax.scan and
-growing the batch both scale throughput until HBM runs out (fp32 b8192
-OOMs; --remat + --precision bf16 fits it).
+Physics accounting: FLOPs/step come from XLA's own
+``compiled.cost_analysis()``; the script emits flops/image, the device
+kind and its bf16 peak, and ``mfu = img_s * flops_per_image / peak``, and
+**asserts the result is below the roofline** so a dispatch-rate artifact
+of this class can never ship again.
 """
 
 import argparse
@@ -34,19 +37,41 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC = 10_000.0
 
+# Dense bf16 peak FLOP/s per chip by device kind. MFU is reported against
+# the bf16 peak even for fp32 runs (conservative: fp32 MXU throughput is
+# lower, so true utilization is higher than reported).
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e: 197 TFLOP/s bf16
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "cpu": 1e12,             # nominal; CI smoke only
+}
+
+
+def device_peak_flops() -> tuple[str, float]:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in kind.lower():
+            return kind, v
+    return kind, PEAK_FLOPS["cpu"]
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=2048)
-    p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--steps", type=int, default=64,
+                   help="timed steps = --steps x --steps-per-call")
+    p.add_argument("--warmup", type=int, default=8, help="warmup dispatches")
     p.add_argument("--n-filters", type=int, default=64)
     p.add_argument("--blocks-per-layer", type=int, default=2)
     p.add_argument("--fused", default="none", choices=["none", "pallas"])
-    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     p.add_argument("--remat", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=8)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="print the accounting breakdown to stderr")
     args = p.parse_args(argv)
 
     if args.smoke:
@@ -89,36 +114,75 @@ def main(argv=None):
     exp = Experiment(cfg, bundle=bundle)
     spc = max(1, args.steps_per_call)
     if spc > 1:
-        step_fn = jax.jit(
-            make_multi_train_step(exp.model, exp.tx, exp.loss_cfg, spc),
-            donate_argnums=(0,),
-        )
+        base = make_multi_train_step(exp.model, exp.tx, exp.loss_cfg, spc)
     else:
-        step_fn = jax.jit(
-            make_train_step(exp.model, exp.tx, exp.loss_cfg), donate_argnums=(0,)
-        )
+        base = make_train_step(exp.model, exp.tx, exp.loss_cfg)
+    step_fn = jax.jit(base, donate_argnums=(0,))
     state = exp.init_state()
     data = exp.train_data.array
 
     def idx_for(i):
-        base = (np.arange(args.batch_size) + i * args.batch_size) % n_train
+        base_idx = (np.arange(args.batch_size) + i * args.batch_size) % n_train
         if spc > 1:
-            return jnp.asarray(
-                np.stack([(base + j * args.batch_size) % n_train for j in range(spc)])
-            )
-        return jnp.asarray(base)
+            return jnp.asarray(np.stack(
+                [(base_idx + j * args.batch_size) % n_train for j in range(spc)]
+            ))
+        return jnp.asarray(base_idx)
 
+    # FLOPs from the compiler's own cost model. Lower the SINGLE-step
+    # program for this: cost_analysis counts a lax.scan body once, not
+    # x trip-count, so analyzing the steps-per-call program would
+    # undercount flops by `spc` (and overstate headroom/understate MFU).
+    single = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+    ca = single.lower(
+        state, data, jnp.arange(args.batch_size)
+    ).compile().cost_analysis() or {}
+    flops_per_step = float(ca.get("flops", 0.0))
+    flops_per_image = flops_per_step / args.batch_size
+    device_kind, peak = device_peak_flops()
+
+    # Warmup — ends with a value readback so the timed section below starts
+    # in the same (readback-inclusive) steady-state regime a real training
+    # run with metric logging lives in.
     for i in range(args.warmup):
         state, metrics = step_fn(state, data, idx_for(i))
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["elbo"]))
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step_fn(state, data, idx_for(i + args.warmup))
-    jax.block_until_ready(metrics)
+    # The clock stops only after a VALUE of the final step is on the host:
+    # metrics depend on state which threads through every step, so this
+    # readback gates on the entire timed queue having executed.
+    final_elbo = float(jax.device_get(metrics["elbo"]))
     dt = time.perf_counter() - t0
 
-    ips = args.steps * spc * args.batch_size / dt
+    n_images = args.steps * spc * args.batch_size
+    ips = n_images / dt
+    achieved_flops = ips * flops_per_image
+    mfu = achieved_flops / peak if peak else 0.0
+
+    # Roofline sanity: a number above the chip's physical peak is a
+    # measurement artifact by definition — refuse to emit it.
+    if flops_per_image > 0 and achieved_flops > 1.05 * peak:
+        raise SystemExit(
+            f"measured {ips:.0f} img/s x {flops_per_image:.3e} FLOP/img = "
+            f"{achieved_flops:.3e} FLOP/s exceeds the {device_kind} peak "
+            f"{peak:.3e} — execution gating is broken; refusing to report."
+        )
+    if not np.isfinite(final_elbo):
+        raise SystemExit(f"non-finite elbo {final_elbo} — benchmark invalid")
+
+    if args.verbose:
+        import sys
+        print(
+            f"device={device_kind} peak={peak:.3e} FLOP/s\n"
+            f"flops/call={flops_per_call:.4e} flops/image={flops_per_image:.4e}\n"
+            f"{n_images} images in {dt:.3f} s -> {ips:.1f} img/s, "
+            f"MFU {100 * mfu:.1f}%  (elbo {final_elbo:.2f})",
+            file=sys.stderr, flush=True,
+        )
+
     print(
         json.dumps(
             {
@@ -126,6 +190,18 @@ def main(argv=None):
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
+                "mfu": round(mfu, 4),
+                "flops_per_image": round(flops_per_image, 1),
+                "device": device_kind,
+                "peak_flops": peak,
+                "config": {
+                    "batch_size": args.batch_size,
+                    "steps_per_call": spc,
+                    "timed_steps": args.steps * spc,
+                    "precision": args.precision,
+                    "fused": args.fused,
+                    "remat": args.remat,
+                },
             }
         )
     )
