@@ -177,7 +177,7 @@ def main(argv=None):
         import sys
         print(
             f"device={device_kind} peak={peak:.3e} FLOP/s\n"
-            f"flops/call={flops_per_call:.4e} flops/image={flops_per_image:.4e}\n"
+            f"flops/step={flops_per_step:.4e} flops/image={flops_per_image:.4e}\n"
             f"{n_images} images in {dt:.3f} s -> {ips:.1f} img/s, "
             f"MFU {100 * mfu:.1f}%  (elbo {final_elbo:.2f})",
             file=sys.stderr, flush=True,
