@@ -8,6 +8,15 @@ where host RAM should hold the data instead. Built on `grain` MapDataset
 (shuffle + batch + prefetch worker threads); preprocessing still happens
 on device inside the jitted step — the stream carries raw uint8.
 
+Composes with the rest of the trainer (VERDICT r1 item 5):
+- ``--steps-per-call k``: the loader stacks k batches into one
+  [k, B, H, W, C] dispatch consumed by a ``lax.scan`` multi-step.
+- ``--num-data-shards n``: the batch axis is sharded over the data mesh;
+  each host's grain pipeline reads only its ``process_index``-strided
+  slice of the dataset and contributes its local portion via
+  ``jax.make_array_from_process_local_data`` (per-host data sharding,
+  SURVEY.md §3.5 / lvae_tpu.parallel.multihost).
+
 Enable with ``--streaming`` on the CLI.
 """
 
@@ -22,7 +31,12 @@ class GrainLoader:
     """Epoch-shuffled uint8 batch stream over an in-memory / memmapped array.
 
     Deterministic per (seed, epoch); hands out numpy batches [B, H, W, C]
-    which the jitted train step uploads and preprocesses on device.
+    (or [k, B, H, W, C] stacks with ``steps_per_call > 1``) which the
+    jitted train step uploads and preprocesses on device.
+
+    ``shard_index``/``shard_count`` restrict the pipeline to a strided
+    slice of the source array — the per-host shard in multi-host training
+    (pass ``jax.process_index()`` / ``jax.process_count()``).
     """
 
     def __init__(
@@ -31,18 +45,31 @@ class GrainLoader:
         batch_size: int,
         seed: int = 0,
         num_threads: int = 4,
+        steps_per_call: int = 1,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         import grain.python as grain
 
+        if shard_count > 1:
+            array_u8 = array_u8[shard_index::shard_count]
+        if batch_size > len(array_u8):
+            raise ValueError(
+                f"per-shard batch {batch_size} exceeds the shard's "
+                f"{len(array_u8)} images"
+            )
         self._grain = grain
         self.array = array_u8
         self.batch_size = batch_size
-        self.seed = seed
+        # different shards must draw different shuffles
+        self.seed = seed + shard_index
         self.num_threads = num_threads
+        self.steps_per_call = max(1, steps_per_call)
         self.n = len(array_u8)
 
     def epochs(self) -> Iterator[np.ndarray]:
-        """Endless stream of batches, reshuffled each epoch."""
+        """Endless stream of [B, ...] batches (or [k, B, ...] stacks),
+        reshuffled each epoch."""
         grain = self._grain
         ds = (
             grain.MapDataset.source(self.array)
@@ -54,20 +81,53 @@ class GrainLoader:
         it = ds.to_iter_dataset(
             grain.ReadOptions(num_threads=self.num_threads, prefetch_buffer_size=8)
         )
+        if self.steps_per_call == 1:
+            for batch in it:
+                yield np.asarray(batch)
+            return
+        buf = []
         for batch in it:
-            yield np.asarray(batch)
+            buf.append(np.asarray(batch))
+            if len(buf) == self.steps_per_call:
+                yield np.stack(buf)
+                buf = []
 
 
-def make_streaming_train_step(model, tx, loss_cfg):
-    """Adapter: (state, batch_u8) -> (state, metrics) reusing the standard
-    step (the gather over arange is elided by XLA)."""
-    import jax.numpy as jnp
+def make_streaming_train_step(model, tx, loss_cfg, steps_per_call: int = 1):
+    """(state, batch_u8) -> (state, metrics) on an explicit host-fed batch.
 
-    from lvae_tpu.train.state import make_train_step
+    With ``steps_per_call > 1`` the input is a [k, B, ...] stack consumed
+    by a ``lax.scan`` (one dispatch per k steps, same as the resident
+    path's ``make_multi_train_step``)."""
+    from lvae_tpu.train.state import (
+        make_batch_train_step,
+        make_multi_batch_train_step,
+    )
 
-    step = make_train_step(model, tx, loss_cfg)
+    if steps_per_call > 1:
+        return make_multi_batch_train_step(model, tx, loss_cfg, steps_per_call)
+    return make_batch_train_step(model, tx, loss_cfg)
 
-    def s_step(state, batch_u8):
-        return step(state, batch_u8, jnp.arange(batch_u8.shape[0]))
 
-    return s_step
+def make_sharded_streaming_step(model, tx, loss_cfg, mesh,
+                                steps_per_call: int = 1,
+                                axis_name: str = "data"):
+    """Data-parallel streaming step: state replicated, the batch sharded on
+    its B axis (axis 0 for [B,...], axis 1 for [k, B, ...]). Returns
+    ``(jitted_step, put)`` where ``put(np_batch)`` assembles the globally
+    sharded device array from this process's local portion."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lvae_tpu.parallel.mesh import replicated
+
+    base = make_streaming_train_step(model, tx, loss_cfg, steps_per_call)
+    spec = P(None, axis_name) if steps_per_call > 1 else P(axis_name)
+    batch_sharding = NamedSharding(mesh, spec)
+    rep = replicated(mesh)
+    step = jax.jit(base, in_shardings=(rep, batch_sharding), donate_argnums=(0,))
+
+    def put(batch_np: np.ndarray) -> jax.Array:
+        return jax.make_array_from_process_local_data(batch_sharding, batch_np)
+
+    return step, put

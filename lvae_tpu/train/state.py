@@ -98,16 +98,19 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def make_batch_train_step(
     model, tx: optax.GradientTransformation, cfg: LossConfig
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, dict]]:
-    """Build the jit-able train step. `data` is the full device-resident
-    uint8 split; `idx` the [batch] index vector for this step."""
+) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, dict]]:
+    """Train step on an explicit uint8 batch (no dataset gather): the body
+    shared by the device-resident path (`make_train_step` wraps it with a
+    ``jnp.take``) and the streaming path, where the batch arrives from the
+    host pipeline and a gather would force an all-gather of a sharded
+    batch under data parallelism."""
 
-    def train_step(state: TrainState, data: jnp.ndarray, idx: jnp.ndarray):
+    def train_step(state: TrainState, batch_u8: jnp.ndarray):
         key = jax.random.fold_in(state.rng, state.step)
         k_pre, k_sample, k_drop = jax.random.split(key, 3)
-        x = preprocess_batch(jnp.take(data, idx, axis=0), k_pre, cfg.preprocess)
+        x = preprocess_batch(batch_u8, k_pre, cfg.preprocess)
         beta = linear_anneal(state.step, 0.0, 1.0, cfg.beta_anneal_steps)
 
         def loss_fn(params):
@@ -161,6 +164,39 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(
+    model, tx: optax.GradientTransformation, cfg: LossConfig
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, dict]]:
+    """Build the jit-able train step. `data` is the full device-resident
+    uint8 split; `idx` the [batch] index vector for this step."""
+    batch_step = make_batch_train_step(model, tx, cfg)
+
+    def train_step(state: TrainState, data: jnp.ndarray, idx: jnp.ndarray):
+        return batch_step(state, jnp.take(data, idx, axis=0))
+
+    return train_step
+
+
+def make_multi_batch_train_step(
+    model, tx: optax.GradientTransformation, cfg: LossConfig, k: int
+):
+    """K explicit-batch train steps per dispatch under ``lax.scan``:
+    `batches` is a [K, B, H, W, C] uint8 stack (K consecutive host-pipeline
+    batches). Returns the state after K steps and the last step's metrics,
+    mirroring :func:`make_multi_train_step` for the streaming path."""
+    batch_step = make_batch_train_step(model, tx, cfg)
+
+    def multi_step(state: TrainState, batches: jnp.ndarray):
+        def body(carry, batch):
+            return batch_step(carry, batch)
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return multi_step
 
 
 def make_multi_train_step(model, tx: optax.GradientTransformation, cfg: LossConfig, k: int):

@@ -392,33 +392,60 @@ class Trainer:
     def _run_streaming(self, state, run_dir, logger, ckpt):
         """Grain host-pipeline loop (``--streaming``): batches stream from
         host worker threads; preprocessing still runs on device in the
-        jitted step. For datasets too large for HBM residency."""
+        jitted step. For datasets too large for HBM residency. Composes
+        with ``--steps-per-call`` (k-batch stacks under lax.scan) and
+        ``--num-data-shards`` (batch sharded over the data mesh, each
+        host's pipeline reading its process-strided dataset slice)."""
         cfg, exp = self.cfg, self.exp
-        from lvae_tpu.data.streaming import GrainLoader, make_streaming_train_step
-
-        if cfg.num_data_shards > 1 or cfg.steps_per_call > 1:
-            raise ValueError(
-                "--streaming currently supports single-chip, steps-per-call=1"
-            )
-        step_fn = jax.jit(
-            make_streaming_train_step(exp.model, exp.tx, exp.loss_cfg),
-            donate_argnums=(0,),
+        from lvae_tpu.data.streaming import (
+            GrainLoader,
+            make_sharded_streaming_step,
+            make_streaming_train_step,
         )
+
+        k = max(1, cfg.steps_per_call)
+        n_proc = jax.process_count()
+        if cfg.batch_size % max(cfg.num_data_shards, 1) or cfg.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide evenly over "
+                f"{cfg.num_data_shards} data shards and {n_proc} processes"
+            )
+        if cfg.num_data_shards > 1:
+            from lvae_tpu.parallel import make_mesh
+
+            mesh = make_mesh(cfg.num_data_shards)
+            step_fn, put = make_sharded_streaming_step(
+                exp.model, exp.tx, exp.loss_cfg, mesh, steps_per_call=k
+            )
+        else:
+            step_fn = jax.jit(
+                make_streaming_train_step(exp.model, exp.tx, exp.loss_cfg, k),
+                donate_argnums=(0,),
+            )
+            put = jnp.asarray
         loader = GrainLoader(
-            np.asarray(exp.bundle.train), cfg.batch_size, seed=cfg.seed
+            np.asarray(exp.bundle.train),
+            cfg.batch_size // n_proc,
+            seed=cfg.seed,
+            steps_per_call=k,
+            shard_index=jax.process_index(),
+            shard_count=n_proc,
         )
         step = int(state.step)
         t_last = time.time()
         steps_since_log = 0
-        print(f"streaming pipeline (grain), batch {cfg.batch_size}", flush=True)
+        print(
+            f"streaming pipeline (grain), batch {cfg.batch_size}, "
+            f"{k} steps/call, {cfg.num_data_shards} data shards", flush=True,
+        )
         try:
             for batch in loader.epochs():
                 if step >= cfg.max_steps:
                     break
-                state, _ = step_fn(state, jnp.asarray(batch))
-                step += 1
-                steps_since_log += 1
-                if step % cfg.log_interval == 0:
+                state, _ = step_fn(state, put(batch))
+                step += k
+                steps_since_log += k
+                if (step // cfg.log_interval) > ((step - k) // cfg.log_interval):
                     dt = time.time() - t_last
                     ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
                     if cfg.defer_metrics:
@@ -429,10 +456,13 @@ class Trainer:
                         logger.log_train(step, jax.device_get(state.ema),
                                          images_per_sec=ips)
                     t_last, steps_since_log = time.time(), 0
-                if step % cfg.test_interval == 0:
+                if (step // cfg.test_interval) > ((step - k) // cfg.test_interval):
                     logger.log_test(step, exp.evaluate(state))
                     t_last, steps_since_log = time.time(), 0
-                if ckpt is not None and step % cfg.checkpoint_interval == 0:
+                if ckpt is not None and (
+                    (step // cfg.checkpoint_interval)
+                    > ((step - k) // cfg.checkpoint_interval)
+                ):
                     ckpt.save(state)
         except KeyboardInterrupt:
             print("interrupted — saving final checkpoint", flush=True)

@@ -273,14 +273,44 @@ class TestStreaming:
         state = Trainer(Experiment(cfg)).run()
         assert int(state.step) == 5
 
-    def test_streaming_rejects_shards(self):
+    def test_grain_loader_steps_per_call_stacks(self, rng):
+        from lvae_tpu.data.streaming import GrainLoader
+
+        arr = rng.integers(0, 256, (64, 4, 4, 1), np.uint8)
+        it = GrainLoader(
+            arr, batch_size=8, seed=0, num_threads=2, steps_per_call=3
+        ).epochs()
+        b = next(it)
+        assert b.shape == (3, 8, 4, 4, 1) and b.dtype == np.uint8
+
+    def test_grain_loader_host_sharding_partitions(self, rng):
+        """Two shards of the same source see disjoint strided slices."""
+        from lvae_tpu.data.streaming import GrainLoader
+
+        arr = np.arange(40, dtype=np.uint8).reshape(40, 1, 1, 1)
+        seen = set()
+        for si in range(2):
+            ld = GrainLoader(arr, batch_size=20, seed=0, shard_index=si,
+                             shard_count=2, num_threads=1)
+            batch = next(ld.epochs())
+            vals = set(int(v) for v in batch.ravel())
+            assert not (vals & seen)
+            seen |= vals
+        assert seen == set(range(40))
+
+    @pytest.mark.slow
+    def test_streaming_sharded_multistep_trainer(self):
+        """--streaming composed with --steps-per-call and --num-data-shards
+        on the 8-device CPU mesh (VERDICT r1 item 5)."""
         from lvae_tpu.config import ExperimentConfig
         from lvae_tpu.train import Experiment, Trainer
 
         cfg = ExperimentConfig(
             dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
-            blocks_per_layer=1, n_filters=8, batch_size=16, max_steps=2,
-            dry_run=True, streaming=True, num_data_shards=8,
+            blocks_per_layer=1, n_filters=8, batch_size=16, dropout=0.0,
+            max_steps=6, log_interval=100, test_interval=1000, seed=0,
+            dry_run=True, streaming=True, steps_per_call=2, num_data_shards=8,
         )
-        with pytest.raises(ValueError, match="streaming"):
-            Trainer(Experiment(cfg)).run()
+        state = Trainer(Experiment(cfg)).run()
+        assert int(state.step) == 6
+        assert np.isfinite(float(jax.device_get(state.ema["elbo"])))
