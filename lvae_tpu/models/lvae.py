@@ -161,6 +161,7 @@ class TopDownLayer(nn.Module):
             forced_latent=forced_latent,
             use_mode=use_mode,
             constant_latent=constant_latent,
+            train=train,
         )
         h = s["out"]
         if self.stochastic_skip and td_in is not None:
@@ -350,6 +351,7 @@ class LadderVAE(nn.Module):
         info = {
             "z": [d["z"] for d in layer_data],
             "kl_elementwise": [d["kl_elementwise"] for d in layer_data],
+            "kl_sample": [d.get("kl_sample") for d in layer_data],
             "q_params": [d["q_params"] for d in layer_data],
             "p_params": [d["p_params"] for d in layer_data],
         }
@@ -365,12 +367,21 @@ class LadderVAE(nn.Module):
 
         ll, lik_data = self.likelihood_head(td, x)
 
-        # per-sample reductions (fp32): ll summed over H,W,C; KL per layer
+        # per-sample reductions (fp32): ll summed over H,W,C; KL per layer.
+        # The fused-reduced train path already accumulated per-sample KL
+        # in-kernel (kl_sample); elementwise maps (and hence the spatial-KL
+        # diagnostics) exist on every other path.
         ll_sample = jnp.sum(ll, axis=(1, 2, 3))
         kl_sep = jnp.stack(
-            [jnp.sum(k, axis=(1, 2, 3)) for k in info["kl_elementwise"]]
+            [
+                ks if ks is not None else jnp.sum(ke, axis=(1, 2, 3))
+                for ks, ke in zip(info["kl_sample"], info["kl_elementwise"])
+            ]
         )  # [L, B]
-        kl_spatial = [jnp.sum(k, axis=-1) for k in info["kl_elementwise"]]
+        kl_spatial = [
+            jnp.sum(k, axis=-1) if k is not None else None
+            for k in info["kl_elementwise"]
+        ]
 
         return {
             "ll": ll_sample,

@@ -48,6 +48,7 @@ class NormalStochasticBlock(nn.Module):
         forced_latent: Optional[jnp.ndarray] = None,
         use_mode: bool = False,
         constant_latent: bool = False,
+        train: bool = False,
     ) -> dict[str, Any]:
         k = (self.kernel_size, self.kernel_size)
         # Near-zero-init the Gaussian parameter heads (NVAE-style): every
@@ -85,10 +86,25 @@ class NormalStochasticBlock(nn.Module):
         mu, log_var = split_params(sampling_params)
 
         kl_elementwise = None
+        kl_sample = None
         if forced_latent is not None:
             z = forced_latent
         elif use_mode:
             z = mu
+        elif self.fused and q_params is not None and train:
+            # Training fast path: in-kernel KL accumulation — the [B,h,w,zc]
+            # KL map never touches HBM; only per-sample sums come out. The
+            # training loss needs nothing finer (free-bits clamps the batch
+            # mean per layer). Eval (train=False) keeps the elementwise map
+            # for the spatial-KL diagnostics.
+            from lvae_tpu.kernels.stochastic_pallas import (
+                fused_sample_kl_per_sample,
+            )
+
+            p_mu, p_lv = split_params(p_params)
+            z, kl_sample = fused_sample_kl_per_sample(
+                self.make_rng("sample"), mu, log_var, p_mu, p_lv
+            )
         elif self.fused and q_params is not None:
             from lvae_tpu.kernels.stochastic_pallas import fused_sample_kl
 
@@ -99,7 +115,7 @@ class NormalStochasticBlock(nn.Module):
         else:
             z = normal_rsample(self.make_rng("sample"), mu, log_var)
 
-        if q_params is not None and kl_elementwise is None:
+        if q_params is not None and kl_elementwise is None and kl_sample is None:
             p_mu, p_lv = split_params(p_params)
             kl_elementwise = gaussian_kl(mu, log_var, p_mu, p_lv)
 
@@ -113,6 +129,7 @@ class NormalStochasticBlock(nn.Module):
             "z": z,
             "out": out,
             "kl_elementwise": kl_elementwise,
+            "kl_sample": kl_sample,   # [B] when the reduced fused path ran
             "q_params": q_params,
             "p_params": p_params,
         }

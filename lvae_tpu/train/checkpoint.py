@@ -34,14 +34,18 @@ def _state_to_tree(state: TrainState) -> dict:
     }
 
 
-def _tree_to_state(tree: dict) -> TrainState:
+def _tree_to_state(tree: dict, template: TrainState) -> TrainState:
+    # re-wrap with the TEMPLATE's key impl: rbg key data is [4]x uint32 vs
+    # threefry's [2], and wrap_key_data defaults to threefry — a restored
+    # --rng-impl rbg run must come back as an rbg key
+    impl = jax.random.key_impl(template.rng)
     return TrainState(
         step=tree["step"],
         params=tree["params"],
         batch_stats=tree["batch_stats"],
         opt_state=tree["opt_state"],
         ema=tree["ema"],
-        rng=jax.random.wrap_key_data(tree["rng_data"]),
+        rng=jax.random.wrap_key_data(tree["rng_data"], impl=impl),
     )
 
 
@@ -72,7 +76,7 @@ class CheckpointManager:
         tree = self._mngr.restore(
             step, args=ocp.args.StandardRestore(_state_to_tree(template))
         )
-        return _tree_to_state(tree)
+        return _tree_to_state(tree, template)
 
     def close(self):
         self._mngr.wait_until_finished()

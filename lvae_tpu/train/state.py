@@ -74,8 +74,16 @@ def create_train_state(
     sample_input: jnp.ndarray,
     seed: int,
     n_layers: int,
+    rng_impl: str = "threefry",
 ) -> TrainState:
-    k = jax.random.key(seed)
+    """``rng_impl`` selects the PRNG backing ``state.rng`` (and the init
+    keys): 'rbg' (XLA RngBitGenerator) cuts the flagship step ~20% on TPU
+    because dropout-mask generation dominates per-step RNG cost; 'threefry'
+    (the library-conservative default here) keeps batches bitwise invariant
+    to mesh size (see lvae_tpu.parallel.mesh docstring)."""
+    # user-facing 'threefry' -> jax's registered impl name
+    rng_impl = {"threefry": "threefry2x32"}.get(rng_impl, rng_impl)
+    k = jax.random.key(seed, impl=rng_impl)
     variables = model.init(
         {"params": k, "sample": k, "dropout": k}, sample_input, train=True
     )
@@ -94,7 +102,7 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         ema=ema,
-        rng=jax.random.key(seed + 1),
+        rng=jax.random.key(seed + 1, impl=rng_impl),
     )
 
 

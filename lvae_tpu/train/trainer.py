@@ -114,7 +114,8 @@ class Experiment:
             (min(self.cfg.batch_size, 8), *self.bundle.data_shape), jnp.float32
         )
         state = create_train_state(
-            self.model, self.tx, x0, self.cfg.seed, len(self.cfg.zdims)
+            self.model, self.tx, x0, self.cfg.seed, len(self.cfg.zdims),
+            rng_impl=self.cfg.rng_impl,
         )
         if data_dep_init:
             k = jax.random.key(self.cfg.seed + 2)
@@ -357,13 +358,15 @@ class Trainer:
                     ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
                     if cfg.defer_metrics:
                         # No D2H readback: on remote-TPU (tunneled) runtimes a
-                        # single device->host transfer of a computed array can
-                        # permanently degrade async dispatch (measured 500k ->
-                        # 17k img/s on this box). Values are fetched once at
-                        # the end of the run.
+                        # device->host transfer stalls the host until the whole
+                        # async queue has executed (DESIGN.md §2b), bubbling
+                        # the dispatch pipeline. Values are fetched once at
+                        # the end of the run. NOTE the img/s printed here is a
+                        # dispatch rate, not execution throughput — bench.py
+                        # is the honest measurement.
                         jax.block_until_ready(state.step)
                         print(f"[train] step {step:>7d}  (metrics deferred)  "
-                              f"{ips:>8.0f} img/s", flush=True)
+                              f"{ips:>8.0f} img/s dispatched", flush=True)
                     else:
                         ema = jax.device_get(state.ema)
                         logger.log_train(step, ema, images_per_sec=ips)

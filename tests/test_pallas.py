@@ -94,6 +94,83 @@ class TestFusedSampleKL:
         )
 
 
+class TestFusedSampleKLReduced:
+    """In-kernel per-sample KL accumulation (VERDICT r1 item 3)."""
+
+    def test_kl_per_sample_matches_oracle(self, rng):
+        from lvae_tpu.kernels.stochastic_pallas import fused_sample_kl_per_sample
+
+        qmu, qlv, pmu, plv = params(rng, (8, 4, 4, 16))  # F=256, tiled path
+        z, kl_b = fused_sample_kl_per_sample(jax.random.key(0), qmu, qlv, pmu, plv)
+        assert kl_b.shape == (8,)
+        ref = np.asarray(gaussian_kl(qmu, qlv, pmu, plv)).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(kl_b), ref, rtol=1e-5)
+        assert z.shape == qmu.shape and np.all(np.isfinite(np.asarray(z)))
+
+    def test_fallback_shape_matches_oracle(self, rng):
+        # F = 4*4*5 = 80, not a multiple of 128 -> elementwise fallback
+        from lvae_tpu.kernels.stochastic_pallas import fused_sample_kl_per_sample
+
+        qmu, qlv, pmu, plv = params(rng, (4, 4, 4, 5))
+        z, kl_b = fused_sample_kl_per_sample(jax.random.key(0), qmu, qlv, pmu, plv)
+        ref = np.asarray(gaussian_kl(qmu, qlv, pmu, plv)).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(kl_b), ref, rtol=1e-5)
+
+    def test_gradients_match_oracle(self, rng):
+        from lvae_tpu.kernels.stochastic_pallas import fused_sample_kl_per_sample
+
+        shape = (8, 4, 4, 16)
+        qmu, qlv, pmu, plv = params(rng, shape)
+        gz = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        gkl = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+
+        def fused_loss(qmu, qlv, pmu, plv):
+            z, kl_b = fused_sample_kl_per_sample(
+                jax.random.key(0), qmu, qlv, pmu, plv
+            )
+            return jnp.sum(z * gz) + jnp.sum(kl_b * gkl)
+
+        def oracle_loss(qmu, qlv, pmu, plv):
+            # identical eps (recovered from the fused z) -> same loss surface
+            z, _ = fused_sample_kl_per_sample(jax.random.key(0), qmu0, qlv0, pmu, plv)
+            eps = (z - qmu0) * jnp.exp(-0.5 * qlv0)
+            z2 = qmu + jnp.exp(0.5 * qlv) * jax.lax.stop_gradient(eps)
+            kl = gaussian_kl(qmu, qlv, pmu, plv)
+            kl_b = jnp.sum(kl, axis=(1, 2, 3))
+            return jnp.sum(z2 * gz) + jnp.sum(kl_b * gkl)
+
+        qmu0, qlv0 = qmu, qlv
+        g_fused = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(qmu, qlv, pmu, plv)
+        g_ref = jax.grad(oracle_loss, argnums=(0, 1, 2, 3))(qmu, qlv, pmu, plv)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_train_uses_reduced_eval_keeps_spatial(self, rng):
+        """fused model: train forward has kl_sep but no spatial maps; eval
+        forward keeps the elementwise spatial-KL diagnostics."""
+        from lvae_tpu.models import LadderVAE
+
+        x = jnp.asarray((rng.uniform(size=(8, 14, 14, 1)) < 0.5).astype(np.float32))
+        kw = dict(
+            color_ch=1, z_dims=(4, 4), blocks_per_layer=1, n_filters=8,
+            downsample=(1, 1), img_size=(16, 16), data_size=(14, 14),
+            dropout_rate=0.0, fused=True,
+        )
+        m = LadderVAE(**kw)
+        k = jax.random.key(0)
+        v = m.init({"params": k, "sample": k, "dropout": k}, x, train=False)
+        out_t, _ = m.apply(
+            v, x, train=True, rngs={"sample": jax.random.key(1)},
+            mutable=["batch_stats"],
+        )
+        assert out_t["kl_sep"].shape[0] == 2
+        assert np.all(np.isfinite(np.asarray(out_t["kl_sep"])))
+        out_e = m.apply(v, x, train=False, rngs={"sample": jax.random.key(1)})
+        assert all(s is not None for s in out_e["kl_spatial"])
+
+
 class TestModelWithFusedFlag:
     def test_fused_model_forward_matches_kl(self, rng):
         from lvae_tpu.models import LadderVAE

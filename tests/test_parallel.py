@@ -74,12 +74,14 @@ class TestDPTrainStep:
         assert leaf.sharding.is_fully_replicated
 
     def test_matches_single_device(self):
-        # jax.random is position-consistent: the same key produces the same
+        # threefry is position-consistent: the same key produces the same
         # global batch on 1 or 8 devices -> identical training trajectories
-        # up to fp reassociation in the psum.
+        # up to fp reassociation in the psum. (rbg, the perf default, does
+        # NOT guarantee this — streams differ across shardings — hence the
+        # explicit pin here.)
         res = {}
         for n in (1, 8):
-            exp = tiny_exp()
+            exp = tiny_exp(rng_impl="threefry")
             state = exp.init_state()
             mesh = make_mesh(n)
             step = make_dp_train_step(

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Hardware-only checks for the Pallas kernels (VERDICT r1 item 3).
+
+CPU CI runs the kernels in interpret mode with jax.random eps injected, so
+the ON-CHIP PRNG + Box-Muller path (stochastic_pallas._fwd_kernel /
+_fwd_reduce_kernel) is never exercised where it actually ships. This
+script runs on the real TPU and checks:
+
+ 1. both fused variants compile and run under jit (fwd + grad) — catches
+    Mosaic-only failures like the 3-operand prng_seed regression that
+    interpret mode accepted and hardware rejected;
+ 2. the KL output matches the pure-XLA oracle exactly;
+ 3. the Box-Muller eps stream is statistically sound: moments (mean 0,
+    var 1, skew 0, excess kurtosis 0), tail mass, cross-grid-block and
+    lag-1 correlations ~ 0, distinct keys decorrelated, same key
+    deterministic.
+
+Run:  python tools/tpu_hw_tests.py        (exit 0 = all checks pass)
+Record the output in RESULTS.md whenever the kernels change.
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def check(name, ok, detail=""):
+    status = "ok " if ok else "FAIL"
+    print(f"[{status}] {name:<52} {detail}", flush=True)
+    return ok
+
+
+def main():
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("this is a hardware test; no TPU backend found", file=sys.stderr)
+        return 2
+    sys.path.insert(0, ".")
+    from lvae_tpu.kernels.stochastic_pallas import (
+        fused_sample_kl,
+        fused_sample_kl_per_sample,
+    )
+    from lvae_tpu.ops.stochastic import gaussian_kl
+
+    ok = True
+    rng = np.random.default_rng(0)
+    shape = (512, 14, 14, 32)  # F = 6272, exercises the tiled paths
+    qmu, qlv, pmu, plv = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32) * s)
+        for s in (1.0, 0.5, 1.0, 0.5)
+    )
+
+    # --- 1. compile + run, both variants, fwd + grad -----------------------
+    z, kl = jax.jit(fused_sample_kl)(jax.random.key(0), qmu, qlv, pmu, plv)
+    zr, klb = jax.jit(fused_sample_kl_per_sample)(
+        jax.random.key(0), qmu, qlv, pmu, plv
+    )
+
+    def loss_elem(a, b, c, d):
+        z, kl = fused_sample_kl(jax.random.key(0), a, b, c, d)
+        return jnp.sum(z) * 1e-3 + jnp.sum(kl)
+
+    def loss_red(a, b, c, d):
+        z, klb = fused_sample_kl_per_sample(jax.random.key(0), a, b, c, d)
+        return jnp.sum(z) * 1e-3 + jnp.sum(klb)
+
+    g_e = jax.jit(jax.grad(loss_elem, argnums=(0, 1, 2, 3)))(qmu, qlv, pmu, plv)
+    g_r = jax.jit(jax.grad(loss_red, argnums=(0, 1, 2, 3)))(qmu, qlv, pmu, plv)
+    ok &= check("elementwise fwd+grad compiles and is finite",
+                all(np.all(np.isfinite(np.asarray(g))) for g in g_e))
+    ok &= check("reduced fwd+grad compiles and is finite",
+                all(np.all(np.isfinite(np.asarray(g))) for g in g_r))
+
+    # KL-path grads of the two variants must agree (same math, summed
+    # cotangent). Compare on a KL-ONLY loss: a z term would drag in eps,
+    # and the two variants legitimately draw DIFFERENT eps streams (their
+    # grids differ, so per-block seeds differ) — dqlv through z is
+    # eps-dependent and would show a spurious ~1e-3-scale mismatch.
+    def klloss_elem(a, b, c, d):
+        _, kl = fused_sample_kl(jax.random.key(0), a, b, c, d)
+        return jnp.sum(kl)
+
+    def klloss_red(a, b, c, d):
+        _, klb = fused_sample_kl_per_sample(jax.random.key(0), a, b, c, d)
+        return jnp.sum(klb)
+
+    gk_e = jax.jit(jax.grad(klloss_elem, argnums=(0, 1, 2, 3)))(qmu, qlv, pmu, plv)
+    gk_r = jax.jit(jax.grad(klloss_red, argnums=(0, 1, 2, 3)))(qmu, qlv, pmu, plv)
+    dmax = max(float(jnp.abs(a - b).max()) for a, b in zip(gk_e, gk_r))
+    ok &= check("elementwise vs reduced KL grads agree", dmax < 1e-4,
+                f"max |d| = {dmax:.2e}")
+
+    # --- 2. KL vs oracle ---------------------------------------------------
+    # Per-sample sums accumulate F=6272 fp32 terms in a different order than
+    # the oracle; compare against an fp64 reference at a tolerance sized for
+    # fp32 reassociation noise (~sqrt(F)*eps ~ 1e-5 relative).
+    ref = np.asarray(gaussian_kl(qmu, qlv, pmu, plv))
+    ref64 = ref.astype(np.float64).sum(axis=(1, 2, 3))
+    e1 = float(np.abs(np.asarray(kl) - ref).max())
+    rel2 = float(
+        (np.abs(np.asarray(klb) - ref64) / np.maximum(1.0, np.abs(ref64))).max()
+    )
+    ok &= check("elementwise KL matches oracle", e1 < 1e-5, f"max err {e1:.2e}")
+    ok &= check("reduced per-sample KL matches fp64 oracle", rel2 < 1e-5,
+                f"rel err {rel2:.2e}")
+
+    # --- 3. Box-Muller stream statistics ------------------------------------
+    # standard-normal setup so z == eps
+    zeros = jnp.zeros((1024, 32, 32, 8), jnp.float32)  # 8.4M draws
+    draws = []
+    for seed in range(4):
+        e, _ = jax.jit(fused_sample_kl)(
+            jax.random.key(seed), zeros, zeros, zeros, zeros
+        )
+        draws.append(np.asarray(e).ravel())
+    eps = np.concatenate(draws)  # 33.5M draws
+    n = eps.size
+    se = 1.0 / np.sqrt(n)  # standard error of the mean
+    mean, var = eps.mean(), eps.var()
+    skew = (eps**3).mean()
+    exkurt = (eps**4).mean() - 3.0
+    ok &= check("eps mean ~ 0", abs(mean) < 6 * se, f"{mean:+.2e} (6se={6*se:.1e})")
+    ok &= check("eps var ~ 1", abs(var - 1) < 6 * np.sqrt(2) * se, f"{var:.6f}")
+    ok &= check("eps skew ~ 0", abs(skew) < 6 * np.sqrt(15) * se, f"{skew:+.2e}")
+    ok &= check("eps excess kurtosis ~ 0", abs(exkurt) < 6 * np.sqrt(96) * se,
+                f"{exkurt:+.2e}")
+    p1 = np.mean(np.abs(eps) < 1.0)
+    p3 = np.mean(np.abs(eps) > 3.0)
+    ok &= check("eps |x|<1 mass ~ 0.6827", abs(p1 - 0.682689) < 1e-3, f"{p1:.4f}")
+    ok &= check("eps |x|>3 tail ~ 0.0027", abs(p3 - 0.002700) < 2e-4, f"{p3:.5f}")
+
+    # cross-grid-block correlation: the (128, 1024)-element tiles are the
+    # per-block PRNG streams; adjacent flat slices land in different blocks
+    e0 = draws[0]
+    blk = 128 * 1024
+    nblk = e0.size // blk
+    blocks = e0[: nblk * blk].reshape(nblk, blk)
+    cmax = 0.0
+    for a in range(0, min(nblk, 8)):
+        for b in range(a + 1, min(nblk, 8)):
+            cmax = max(cmax, abs(float(np.corrcoef(blocks[a], blocks[b])[0, 1])))
+    ok &= check("cross-block |corr| small", cmax < 5 * blk ** -0.5,
+                f"max {cmax:.2e}")
+    lag1 = float(np.corrcoef(e0[:-1], e0[1:])[0, 1])
+    ok &= check("lag-1 autocorr ~ 0", abs(lag1) < 6 / np.sqrt(e0.size),
+                f"{lag1:+.2e}")
+    c01 = float(np.corrcoef(draws[0], draws[1])[0, 1])
+    ok &= check("different keys decorrelated", abs(c01) < 6 * se, f"{c01:+.2e}")
+    e_again, _ = jax.jit(fused_sample_kl)(
+        jax.random.key(0), zeros, zeros, zeros, zeros
+    )
+    ok &= check("same key deterministic",
+                bool(np.array_equal(np.asarray(e_again).ravel(), draws[0])))
+
+    print("\nALL OK" if ok else "\nFAILURES", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
