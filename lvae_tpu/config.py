@@ -37,6 +37,7 @@ class ExperimentConfig:
     dropout: float = 0.2
     residual_type: str = "bacdbacd"
     merge_layers: str = "residual"
+    resample_mode: str = "conv"           # 'conv' | 'interpolate' (lib/nn.py Interpolate)
     batchnorm: bool = True
     likelihood: Optional[str] = None      # None -> dataset default
     # loss / optimization
@@ -147,6 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--residual-type", default=d.residual_type)
     p.add_argument("--merge-layers", default=d.merge_layers,
                    choices=["linear", "residual"])
+    p.add_argument("--resample-mode", default=d.resample_mode,
+                   choices=["conv", "interpolate"],
+                   help="2x resampling: strided/transposed conv (default) or "
+                        "nearest-neighbor interpolation + 1x1 conv "
+                        "(the reference's Interpolate wrapper)")
     p.add_argument("--no-bn", action="store_true", help="disable batchnorm")
     p.add_argument("--likelihood", default=None,
                    choices=["bernoulli", "gaussian", "discretized_logistic",
@@ -216,6 +222,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         dropout=args.dropout,
         residual_type=args.residual_type,
         merge_layers=args.merge_layers,
+        resample_mode=args.resample_mode,
         batchnorm=not args.no_bn,
         likelihood=args.likelihood,
         freebits=args.freebits,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -113,8 +114,12 @@ class ResidualBlock(nn.Module):
 class ResBlockWithResampling(nn.Module):
     """Optional 2x resample + channel projection, then a ResidualBlock.
 
-    ``mode='bottom-up'`` downsamples with a stride-2 conv;
-    ``mode='top-down'`` upsamples with a stride-2 transposed conv. With no
+    ``resample_mode='conv'`` (default): ``mode='bottom-up'`` downsamples
+    with a stride-2 conv; ``mode='top-down'`` upsamples with a stride-2
+    transposed conv. ``resample_mode='interpolate'``: nearest-neighbor
+    2x resize (``jax.image.resize``) followed by a 1x1 channel projection —
+    the reference's ``Interpolate`` wrapper option (``lib/nn.py``,
+    SURVEY.md §2.1 [L]), kept as a config hedge for parity. With no
     resampling, a 1x1 conv aligns channel count when needed. Mirrors the
     reference's BottomUpDeterministicResBlock / TopDownDeterministicResBlock
     wrappers (SURVEY.md §2.1 models/lvae.py).
@@ -123,6 +128,7 @@ class ResBlockWithResampling(nn.Module):
     mode: str  # 'bottom-up' | 'top-down'
     channels: int
     resample: bool = False
+    resample_mode: str = "conv"  # 'conv' | 'interpolate'
     block_type: str = "bacdbacd"
     kernel_size: int = 3
     nonlin: str = "elu"
@@ -133,23 +139,32 @@ class ResBlockWithResampling(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.mode not in ("bottom-up", "top-down"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.resample_mode not in ("conv", "interpolate"):
+            raise ValueError(f"unknown resample_mode {self.resample_mode!r}")
         if self.resample:
-            if self.mode == "bottom-up":
+            if self.resample_mode == "interpolate":
+                b, h, w, _ = x.shape
+                hw = (h // 2, w // 2) if self.mode == "bottom-up" else (2 * h, 2 * w)
+                x = jax.image.resize(
+                    x, (b, *hw, x.shape[-1]), method="nearest"
+                )
+                x = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(x)
+            elif self.mode == "bottom-up":
                 x = nn.Conv(
                     self.channels,
                     (self.kernel_size, self.kernel_size),
                     strides=(2, 2),
                     dtype=self.dtype,
                 )(x)
-            elif self.mode == "top-down":
+            else:  # top-down conv
                 x = nn.ConvTranspose(
                     self.channels,
                     (self.kernel_size, self.kernel_size),
                     strides=(2, 2),
                     dtype=self.dtype,
                 )(x)
-            else:
-                raise ValueError(f"unknown mode {self.mode!r}")
         elif x.shape[-1] != self.channels:
             x = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(x)
         return ResidualBlock(

@@ -67,6 +67,7 @@ class TopDownLayer(nn.Module):
     batchnorm: bool = True
     gated: bool = False
     fused: bool = False
+    resample_mode: str = "conv"  # 'conv' | 'interpolate' (lib/nn.py Interpolate)
     dtype: Optional[Any] = None
     remat: bool = False   # rematerialize residual blocks (memory vs FLOPs)
 
@@ -112,6 +113,7 @@ class TopDownLayer(nn.Module):
                     mode="top-down",
                     channels=self.n_filters,
                     resample=i < self.upsample_steps,
+                    resample_mode=self.resample_mode,
                     gated=self.gated,
                     **common,
                 )
@@ -193,6 +195,7 @@ class LadderVAE(nn.Module):
     nonlin: str = "elu"
     res_block_type: str = "bacdbacd"
     merge_type: str = "residual"
+    resample_mode: str = "conv"   # 'conv' | 'interpolate' (lib/nn.py Interpolate)
     no_initial_downscaling: bool = False
     fused: bool = False
     dtype: Optional[Any] = None   # conv compute dtype (None=fp32; bf16 for MXU)
@@ -252,6 +255,7 @@ class LadderVAE(nn.Module):
                         mode="bottom-up",
                         channels=self.n_filters,
                         resample=j < self.downsample[i],
+                        resample_mode=self.resample_mode,
                         gated=self.gated,
                         **common,
                     )
@@ -274,6 +278,7 @@ class LadderVAE(nn.Module):
                     top_prior_hw=(h >> scales[-1], w >> scales[-1]),
                     stochastic_skip=self.stochastic_skip,
                     merge_type=self.merge_type,
+                    resample_mode=self.resample_mode,
                     gated=self.gated,
                     fused=self.fused,
                     remat=self.remat,
@@ -289,6 +294,7 @@ class LadderVAE(nn.Module):
                     mode="top-down",
                     channels=self.n_filters,
                     resample=True,
+                    resample_mode=self.resample_mode,
                     gated=self.gated,
                     **common,
                 )

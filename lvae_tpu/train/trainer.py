@@ -61,6 +61,7 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         nonlin=cfg.nonlin,
         res_block_type=cfg.residual_type,
         merge_type=cfg.merge_layers,
+        resample_mode=cfg.resample_mode,
         no_initial_downscaling=cfg.no_initial_downscaling,
         fused=cfg.fused == "pallas",
         dtype=dtype,

@@ -95,9 +95,40 @@ class TestForward:
             dict(no_initial_downscaling=True),
             dict(dropout_rate=0.2),
             dict(nonlin="relu"),
+            dict(resample_mode="interpolate"),
         ):
             _, out = init_and_run(tiny_model(**kw), x14, train=True)
             assert np.all(np.isfinite(np.asarray(out["ll"])))
+
+    def test_interpolate_resampling_shapes_and_grads(self, x14):
+        """--resample-mode interpolate: nearest-resize + 1x1 conv replaces
+        strided/transposed convs everywhere; shapes and gradients intact
+        (reference lib/nn.py Interpolate — SURVEY.md §2.1 [L])."""
+        model = tiny_model(resample_mode="interpolate")
+        variables, out = init_and_run(model, x14)
+        assert out["out_mean"].shape == (2, 14, 14, 1)
+        assert out["z"][0].shape == (2, 4, 4, 4)
+        assert out["z"][1].shape == (2, 2, 2, 4)
+        # no transposed-conv kernels anywhere in the param tree
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        names = "/".join(jax.tree_util.keystr(p) for p, _ in flat)
+        assert "ConvTranspose" not in names
+
+        def loss(params):
+            o = model.apply(
+                {**variables, "params": params}, x14, train=False,
+                rngs={"sample": jax.random.key(3)},
+            )
+            return -(o["ll"].mean() - o["kl_sep"].sum(0).mean())
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
+
+    def test_bad_resample_mode_raises(self, x14):
+        with pytest.raises(ValueError, match="resample_mode"):
+            init_and_run(tiny_model(resample_mode="bogus"), x14)
 
     def test_rgb_discretized_logistic(self, rng):
         x = jnp.asarray(rng.uniform(size=(2, 16, 16, 3)).astype(np.float32))

@@ -184,6 +184,11 @@ class TestCLI:
         assert cfg.lr == 3e-4
         assert cfg.batchnorm is True
         assert cfg.likelihood is None
+        assert cfg.resample_mode == "conv"
+
+    def test_resample_mode_flag(self):
+        cfg = config_from_args(["--resample-mode", "interpolate"])
+        assert cfg.resample_mode == "interpolate"
 
 
 class TestMultiStep:
