@@ -78,6 +78,9 @@ def main(argv=None):
         args.batch_size, args.steps, args.warmup = 32, 5, 2
         args.n_filters, args.blocks_per_layer = 16, 1
 
+    from lvae_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from lvae_tpu.config import ExperimentConfig
     from lvae_tpu.data.registry import DatasetBundle
     from lvae_tpu.train import Experiment, make_train_step

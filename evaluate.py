@@ -34,6 +34,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from lvae_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from lvae_tpu.config import config_from_dict
     from lvae_tpu.eval.iwll import evaluate_iwll
     from lvae_tpu.train import CheckpointManager, Experiment, load_config_dict

@@ -35,6 +35,10 @@ class ExperimentConfig:
     no_initial_downscaling: bool = False
     nonlin: str = "elu"
     dropout: float = 0.2
+    # 'bits8': keep mask from uint8 random bits (1 byte/elem vs fp32's 4) —
+    # measured 2.4x faster masks on v5e; realized rate quantized to 1/256
+    # with exact-expectation rescale. 'float': exact-rate fp32 uniforms.
+    dropout_impl: str = "bits8"
     residual_type: str = "bacdbacd"
     merge_layers: str = "residual"
     resample_mode: str = "conv"           # 'conv' | 'interpolate' (lib/nn.py Interpolate)
@@ -145,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-filters", type=int, default=d.n_filters)
     p.add_argument("--no-initial-downscaling", action="store_true")
     p.add_argument("--dropout", type=float, default=d.dropout)
+    p.add_argument("--dropout-impl", default=d.dropout_impl,
+                   choices=["bits8", "float"],
+                   help="bits8: uint8 mask bits (faster, rate quantized to "
+                        "1/256); float: exact-rate fp32 uniform masks")
     p.add_argument("--residual-type", default=d.residual_type)
     p.add_argument("--merge-layers", default=d.merge_layers,
                    choices=["linear", "residual"])
@@ -220,6 +228,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         no_initial_downscaling=args.no_initial_downscaling,
         nonlin=args.nonlin,
         dropout=args.dropout,
+        dropout_impl=args.dropout_impl,
         residual_type=args.residual_type,
         merge_layers=args.merge_layers,
         resample_mode=args.resample_mode,

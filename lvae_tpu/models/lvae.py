@@ -64,6 +64,7 @@ class TopDownLayer(nn.Module):
     block_type: str = "bacdbacd"
     nonlin: str = "elu"
     dropout_rate: float = 0.0
+    dropout_impl: str = "bits8"
     batchnorm: bool = True
     gated: bool = False
     fused: bool = False
@@ -76,6 +77,7 @@ class TopDownLayer(nn.Module):
             block_type=self.block_type,
             nonlin=self.nonlin,
             dropout_rate=self.dropout_rate,
+            dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
             dtype=self.dtype,
         )
@@ -192,6 +194,7 @@ class LadderVAE(nn.Module):
     likelihood: str = "bernoulli"
     batchnorm: bool = True
     dropout_rate: float = 0.2
+    dropout_impl: str = "bits8"   # 'bits8' (uint8 mask bits) | 'float' (fp32 uniform)
     nonlin: str = "elu"
     res_block_type: str = "bacdbacd"
     merge_type: str = "residual"
@@ -221,6 +224,7 @@ class LadderVAE(nn.Module):
             block_type=self.res_block_type,
             nonlin=self.nonlin,
             dropout_rate=self.dropout_rate,
+            dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
             dtype=self.dtype,
         )

@@ -58,6 +58,7 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         likelihood=cfg.likelihood or bundle.default_likelihood,
         batchnorm=cfg.batchnorm,
         dropout_rate=cfg.dropout,
+        dropout_impl=cfg.dropout_impl,
         nonlin=cfg.nonlin,
         res_block_type=cfg.residual_type,
         merge_type=cfg.merge_layers,

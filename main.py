@@ -8,11 +8,13 @@ Example (mirrors the reference README command):
         --data-dep-init --seed 42 --dataset static_mnist
 """
 
+from lvae_tpu.cache import enable_persistent_cache
 from lvae_tpu.config import config_from_args
 from lvae_tpu.train import Experiment, Trainer
 
 
 def main(argv=None):
+    enable_persistent_cache()
     cfg = config_from_args(argv)
     experiment = Experiment(cfg)
     trainer = Trainer(experiment)

@@ -94,6 +94,7 @@ class TestForward:
             dict(res_block_type="cabdcabd"),
             dict(no_initial_downscaling=True),
             dict(dropout_rate=0.2),
+            dict(dropout_rate=0.2, dropout_impl="float"),
             dict(nonlin="relu"),
             dict(resample_mode="interpolate"),
         ):
@@ -259,6 +260,43 @@ class TestBlocks:
         v = blk.init({"params": k}, x, train=False)
         y = blk.apply(v, x, train=False)
         assert y.shape == x.shape
+
+    def test_fast_dropout_statistics_and_expectation(self, rng):
+        """bits8 dropout: realized keep rate == round(keep*256)/256 and the
+        rescale keeps E[y] == x exactly; deterministic mode is identity."""
+        from lvae_tpu.models.blocks import FastDropout
+
+        x = jnp.ones((64, 32, 32), jnp.float32)
+        drop = FastDropout(0.2)
+        y = drop.apply({}, x, deterministic=False,
+                       rngs={"dropout": jax.random.key(0)})
+        kept = np.asarray(y) > 0
+        realized = 205 / 256  # round(0.8*256)/256
+        assert abs(kept.mean() - realized) < 3e-3
+        # surviving values are scaled by exactly 256/205
+        np.testing.assert_allclose(
+            np.asarray(y)[kept], 256.0 / 205.0, rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(y).mean(), 1.0, atol=5e-3)
+        # deterministic: identity, no rng needed
+        yd = drop.apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(yd), np.asarray(x))
+
+    def test_fast_dropout_tiny_rate_noop(self):
+        from lvae_tpu.models.blocks import FastDropout
+
+        x = jnp.ones((8, 8), jnp.float32)
+        y = FastDropout(1e-4).apply(
+            {}, x, deterministic=False, rngs={"dropout": jax.random.key(0)}
+        )
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_bad_dropout_impl_raises(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+        blk = ResidualBlock(channels=8, dropout_rate=0.2, dropout_impl="bogus")
+        k = jax.random.key(0)
+        with pytest.raises(ValueError, match="dropout_impl"):
+            blk.init({"params": k, "dropout": k}, x, train=True)
 
     def test_stochastic_block_no_q(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))

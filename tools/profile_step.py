@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Profile the flagship train step on hardware and summarize where time goes.
+
+Runs a few warm steps of the exact bench.py configuration under
+``jax.profiler.trace``, then parses the Perfetto/Chrome trace JSON that the
+profiler writes (``plugins/profile/*/\*.trace.json.gz``) and prints the top
+device ops by total self time, grouped by fusion/op name. This gives the
+MFU-optimization loop actual data (VERDICT r1 item 1b: "profile and record
+findings") without needing a TensorBoard UI on this box.
+
+Usage:  python tools/profile_step.py [--batch-size 2048] [--steps 6]
+        [--fused pallas] [--precision fp32] [--rng-impl threefry] [--top 30]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_step(args):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lvae_tpu.config import ExperimentConfig
+    from lvae_tpu.data.registry import DatasetBundle
+    from lvae_tpu.train import Experiment, make_train_step
+
+    rng = np.random.default_rng(0)
+    n_train = max(2 * args.batch_size, 4096)
+    train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
+    bundle = DatasetBundle(
+        name="prof", train=train, test=train[:256], img_size=(28, 28),
+        padded_size=(32, 32), color_ch=1, preprocess="none",
+        default_likelihood="bernoulli",
+    )
+    cfg = ExperimentConfig(
+        dataset="prof", zdims=(32, 32, 32), downsample=(1, 1, 1),
+        blocks_per_layer=2, n_filters=64, skip=True, gated=True,
+        learn_top_prior=True, freebits=0.5, batch_size=args.batch_size,
+        dropout=args.dropout, seed=0, fused=args.fused,
+        precision=args.precision, rng_impl=args.rng_impl, dry_run=True,
+    )
+    exp = Experiment(cfg, bundle=bundle)
+    step_fn = jax.jit(
+        make_train_step(exp.model, exp.tx, exp.loss_cfg), donate_argnums=(0,)
+    )
+    state = exp.init_state()
+    data = exp.train_data.array
+    idx = jnp.arange(args.batch_size)
+    return step_fn, state, data, idx
+
+
+def collect_device_events(trace_dir):
+    """Parse all .trace.json.gz files; return (events, total_us) where
+    events are complete-events from device lanes (TensorCore pids)."""
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz")
+    )
+    if not paths:
+        raise SystemExit(f"no trace files found under {trace_dir}")
+    events = []
+    for path in paths:
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        ev = data.get("traceEvents", [])
+        # identify device process ids: process_name metadata containing
+        # "TPU" / "Chip" / "device" but not host threads
+        device_pids = set()
+        for e in ev:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                name = e.get("args", {}).get("name", "")
+                if any(s in name for s in ("TPU", "Device", "/device:")):
+                    device_pids.add(e["pid"])
+        for e in ev:
+            if e.get("ph") == "X" and e.get("pid") in device_pids:
+                events.append(e)
+    return events
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--fused", default="none", choices=["none", "pallas"])
+    p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    p.add_argument("--rng-impl", default="rbg", choices=["rbg", "threefry"])
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--top", type=int, default=30)
+    p.add_argument("--out", default=None, help="trace dir (default: tmp)")
+    args = p.parse_args()
+
+    step_fn, state, data, idx = build_step(args)
+
+    # warmup: compile + settle, gate on a value readback
+    for _ in range(3):
+        state, metrics = step_fn(state, data, idx)
+    float(jax.device_get(metrics["elbo"]))
+
+    trace_dir = args.out or tempfile.mkdtemp(prefix="lvae_prof_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, data, idx)
+        float(jax.device_get(metrics["elbo"]))
+
+    events = collect_device_events(trace_dir)
+    if not events:
+        raise SystemExit("trace parsed but no device events found")
+
+    by_name = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for e in events:
+        dur = e.get("dur", 0.0)  # us
+        total += dur
+        by_name[e["name"]] += dur
+        count[e["name"]] += 1
+    per_step = total / args.steps
+
+    print(f"trace dir: {trace_dir}")
+    print(f"device busy time: {total/1e3:.2f} ms over {args.steps} steps "
+          f"-> {per_step/1e3:.2f} ms/step device-busy")
+    print(f"{'op':<72} {'ms/step':>9} {'%':>6} {'calls':>6}")
+    for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"{name[:72]:<72} {us/args.steps/1e3:9.3f} "
+              f"{100*us/total:6.2f} {count[name]:6d}")
+
+
+if __name__ == "__main__":
+    main()
