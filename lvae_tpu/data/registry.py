@@ -62,6 +62,42 @@ DATASETS = (
     "synthetic_rgb",
 )
 
+# (img_size, padded_size, color_ch, preprocess, default_likelihood) for the
+# datasets whose shapes are fixed by the reference (the multiobject npz
+# shapes come from their files). SVHN uses the plain single-component
+# discretized logistic per BASELINE.json config 3.
+_META = {
+    "static_mnist": ((28, 28), (32, 32), 1, PREPROCESS_NONE, "bernoulli"),
+    "mnist": ((28, 28), (32, 32), 1, PREPROCESS_BINARIZE, "bernoulli"),
+    "cifar10": ((32, 32), (32, 32), 3, PREPROCESS_DEQUANTIZE,
+                "discretized_logistic_mix"),
+    "svhn": ((32, 32), (32, 32), 3, PREPROCESS_DEQUANTIZE,
+             "discretized_logistic"),
+    "celeba": ((64, 64), (64, 64), 3, PREPROCESS_DEQUANTIZE,
+               "discretized_logistic_mix"),
+    "synthetic": ((28, 28), (32, 32), 1, PREPROCESS_NONE, "bernoulli"),
+    "synthetic_rgb": ((32, 32), (32, 32), 3, PREPROCESS_DEQUANTIZE,
+                      "discretized_logistic"),
+}
+
+
+def stub_bundle(name: str, n: int = 8) -> DatasetBundle:
+    """Metadata-faithful bundle with tiny random arrays and NO disk access.
+
+    For uses where only shapes / preprocess / likelihood matter — model
+    construction for checkpoint conversion (tools/convert_torch_checkpoint),
+    compile-only dry runs — without requiring the dataset files.
+    """
+    if name not in _META:
+        raise ValueError(
+            f"no static metadata for {name!r} (multiobject shapes come from "
+            f"their npz files); choose from {sorted(_META)}"
+        )
+    img, padded, ch, pre, lik = _META[name]
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(n, *img, ch), dtype=np.uint8)
+    return DatasetBundle(name, arr, arr, img, padded, ch, pre, lik)
+
 
 def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
     """Build the :class:`DatasetBundle` for a dataset name.
@@ -70,38 +106,16 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
     static_mnist, mnist (dynamic binarization), cifar10, svhn, celeba,
     multi_dsprites_binary_rgb, multi_mnist_binary) plus offline-friendly
     synthetic fixtures."""
-    if name == "static_mnist":
-        train, test = sources.load_static_mnist(data_dir)
-        return DatasetBundle(
-            name, train, test, (28, 28), (32, 32), 1,
-            PREPROCESS_NONE, "bernoulli",
-        )
-    if name == "mnist":
-        train, test = sources.load_mnist(data_dir)
-        return DatasetBundle(
-            name, train, test, (28, 28), (32, 32), 1,
-            PREPROCESS_BINARIZE, "bernoulli",
-        )
-    if name == "cifar10":
-        train, test = sources.load_cifar10(data_dir)
-        return DatasetBundle(
-            name, train, test, (32, 32), (32, 32), 3,
-            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
-        )
-    if name == "svhn":
-        # BASELINE.json config 3 specifies the plain (single-component)
-        # discretized logistic for SVHN, not the PixelCNN++ mixture.
-        train, test = sources.load_svhn(data_dir)
-        return DatasetBundle(
-            name, train, test, (32, 32), (32, 32), 3,
-            PREPROCESS_DEQUANTIZE, "discretized_logistic",
-        )
-    if name == "celeba":
-        train, test = sources.load_celeba(data_dir)
-        return DatasetBundle(
-            name, train, test, (64, 64), (64, 64), 3,
-            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
-        )
+    loaders = {
+        "static_mnist": sources.load_static_mnist,
+        "mnist": sources.load_mnist,
+        "cifar10": sources.load_cifar10,
+        "svhn": sources.load_svhn,
+        "celeba": sources.load_celeba,
+    }
+    if name in loaders:
+        train, test = loaders[name](data_dir)
+        return DatasetBundle(name, train, test, *_META[name])
     if name == "multi_dsprites_binary_rgb":
         path = os.path.join(
             data_dir, "multiobject", "dsprites", "multi_dsprites_color_012.npz"
@@ -124,14 +138,8 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
         )
     if name == "synthetic":
         train, test = sources.make_synthetic(img=28, channels=1, binary=True)
-        return DatasetBundle(
-            name, train, test, (28, 28), (32, 32), 1,
-            PREPROCESS_NONE, "bernoulli",
-        )
+        return DatasetBundle(name, train, test, *_META[name])
     if name == "synthetic_rgb":
         train, test = sources.make_synthetic(img=32, channels=3, binary=False)
-        return DatasetBundle(
-            name, train, test, (32, 32), (32, 32), 3,
-            PREPROCESS_DEQUANTIZE, "discretized_logistic",
-        )
+        return DatasetBundle(name, train, test, *_META[name])
     raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS}")

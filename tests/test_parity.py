@@ -309,3 +309,108 @@ class TestBatchNormStatsParity:
             flax_batch_term * n / (n - 1), torch_batch_term,
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestTorchCheckpointConvert:
+    """lvae_tpu.train.convert + tools/convert_torch_checkpoint: importing a
+    reference-style torch state_dict into a restorable run dir."""
+
+    def test_state_dict_roundtrip_exact(self):
+        """flax init -> port to mirror -> state_dict -> convert back ==
+        original trees, bit-exact (pure layout transposes)."""
+        from flax.traverse_util import flatten_dict
+        from lvae_tpu.train.convert import torch_state_dict_to_flax
+
+        model, variables, tmodel, x = make_pair()
+        params, bstats = torch_state_dict_to_flax(
+            variables["params"], variables.get("batch_stats", {}),
+            tmodel.state_dict(),
+        )
+        for (po, vo), (pc, vc) in zip(
+            sorted(flatten_dict(unfreeze(variables["params"])).items()),
+            sorted(flatten_dict(params).items()),
+        ):
+            assert po == pc
+            np.testing.assert_array_equal(
+                np.asarray(vo), vc, err_msg="/".join(po)
+            )
+        for (po, vo), (pc, vc) in zip(
+            sorted(flatten_dict(unfreeze(variables["batch_stats"])).items()),
+            sorted(flatten_dict(bstats).items()),
+        ):
+            np.testing.assert_array_equal(np.asarray(vo), vc)
+
+    def test_strict_mode_rejects_missing_and_extra(self):
+        from lvae_tpu.train.convert import torch_state_dict_to_flax
+
+        model, variables, tmodel, x = make_pair()
+        sd = dict(tmodel.state_dict())
+        (k, v), = [next(iter(sd.items()))]
+        missing = {kk: vv for kk, vv in sd.items() if kk != k}
+        with pytest.raises(KeyError, match="missing"):
+            torch_state_dict_to_flax(
+                variables["params"], variables.get("batch_stats", {}), missing
+            )
+        extra = dict(sd)
+        extra["not.a.real.weight"] = v
+        with pytest.raises(KeyError, match="unconverted"):
+            torch_state_dict_to_flax(
+                variables["params"], variables.get("batch_stats", {}), extra
+            )
+        # non-strict: both tolerated
+        torch_state_dict_to_flax(
+            variables["params"], variables.get("batch_stats", {}), extra,
+            strict=False,
+        )
+
+    def test_convert_cli_produces_restorable_run(self, tmp_path):
+        """End-to-end: torch.save a mirror state_dict, run the converter
+        CLI, restore with CheckpointManager, weights match the mirror."""
+        import importlib.util
+        import os
+
+        from flax.traverse_util import flatten_dict
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.data.registry import stub_bundle
+        from lvae_tpu.train import CheckpointManager, Experiment
+        from tests.torch_mirror import torch_params_as_flax
+
+        kw = dict(
+            color_ch=1, z_dims=(4, 4), blocks_per_layer=1, n_filters=8,
+            downsample=(1, 1), img_size=(32, 32), data_size=(28, 28),
+            dropout_rate=0.0,
+        )
+        tmodel = LadderVAET(**kw)
+        with torch.no_grad():
+            for p in tmodel.parameters():
+                p.normal_(0.0, 0.05)
+        sd_path = tmp_path / "ref_model.pt"
+        torch.save(tmodel.state_dict(), sd_path)
+
+        spec = importlib.util.spec_from_file_location(
+            "convert_tool",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "convert_torch_checkpoint.py"),
+        )
+        tool = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tool)
+        run_dir = tmp_path / "converted"
+        tool.main([
+            "--state-dict", str(sd_path), "--run-dir", str(run_dir), "--",
+            "--dataset", "synthetic", "--zdims", "4", "4",
+            "--downsample", "1", "1", "--blocks-per-layer", "1",
+            "--n-filters", "8", "--dropout", "0.0",
+        ])
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, dropout=0.0, dry_run=True,
+        )
+        exp = Experiment(cfg, bundle=stub_bundle("synthetic"))
+        restored = CheckpointManager(str(run_dir)).restore(exp.init_state())
+        want = torch_params_as_flax(tmodel, restored.params)
+        for path, val in flatten_dict(unfreeze(restored.params)).items():
+            np.testing.assert_allclose(
+                np.asarray(val), flatten_dict(want)[path], rtol=0, atol=0,
+                err_msg="/".join(path),
+            )

@@ -247,7 +247,9 @@ class TopDownLayerT(nn.Module):
         merge_kw = dict(block_kw)
         if not is_top:
             self.merge = MergeLayerT(n_filters, merge_type, **merge_kw)
-        if stochastic_skip:
+        if stochastic_skip and not is_top:
+            # the top layer's td_in is always None, so flax never calls (and
+            # therefore never materializes) a top skip_merge — mirror that
             self.skip_merge = MergeLayerT(n_filters, merge_type, **merge_kw)
         self.stochastic = NormalStochasticBlockT(
             n_filters, z_dim, n_filters, transform_p_params=not is_top
