@@ -227,6 +227,41 @@ class TestMultiStep:
         state = Trainer(exp).run()
         assert int(state.step) == 20
 
+    def test_grad_accum_composes_with_steps_per_call(self):
+        """MultiSteps accumulation lives inside tx, so a k-step scan with
+        grad_accum=2 must match sequential single steps exactly (same RNG
+        stream, same micro-batch order, updates applied every 2nd step)."""
+        from lvae_tpu.train import make_train_step
+        from lvae_tpu.train.state import make_multi_train_step
+
+        exp = Experiment(tiny_cfg(grad_accum=2))
+        single = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+        multi = jax.jit(make_multi_train_step(exp.model, exp.tx, exp.loss_cfg, 4))
+        data = exp.train_data.array
+        idx = np.stack([np.arange(16) + 16 * i for i in range(4)])
+
+        s1 = exp.init_state()
+        params_after_1 = None
+        for i, row in enumerate(idx):
+            s1, _ = single(s1, data, jnp.asarray(row))
+            if i == 0:
+                params_after_1 = s1.params
+        # with grad_accum=2, step 1 must not have moved the params
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_after_1),
+            jax.tree_util.tree_leaves(exp.init_state().params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        s2 = exp.init_state()
+        s2, _ = multi(s2, data, jnp.asarray(idx))
+        assert int(s2.step) == 4
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) < 4 * 3e-4 * 2
+
     def test_trainer_steps_per_call_with_shards(self):
         exp = Experiment(
             tiny_cfg(steps_per_call=3, num_data_shards=8, max_steps=6, batch_size=16)
