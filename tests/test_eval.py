@@ -61,6 +61,7 @@ class TestStreamingLogsumexp:
 
 
 class TestIWLL:
+    @pytest.mark.slow
     def test_iwll_at_least_elbo(self):
         # The IWAE bound is tighter than the ELBO in expectation; with a
         # trained tiny model and k=32 the gap must not be materially negative.
@@ -91,6 +92,7 @@ class TestIWLL:
         ref = np.asarray(o["ll"] - o["kl_sep"].sum(axis=0))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_more_samples_tighter(self):
         # IW bound is monotone in k in expectation; check the trend with
         # common random numbers over a few seeds.
@@ -127,6 +129,7 @@ class TestViz:
 
 
 class TestEvaluateCLI:
+    @pytest.mark.slow
     def test_end_to_end(self, tmp_path, capsys):
         from lvae_tpu.config import ExperimentConfig
 

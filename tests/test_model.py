@@ -84,6 +84,7 @@ class TestForward:
         # store/compare with modest precision: exact value asserted after
         # first run (see test_golden_value_file)
 
+    @pytest.mark.slow
     def test_variants_run(self, x14):
         for kw in (
             dict(stochastic_skip=True),
@@ -101,6 +102,7 @@ class TestForward:
             _, out = init_and_run(tiny_model(**kw), x14, train=True)
             assert np.all(np.isfinite(np.asarray(out["ll"])))
 
+    @pytest.mark.slow
     def test_interpolate_resampling_shapes_and_grads(self, x14):
         """--resample-mode interpolate: nearest-resize + 1x1 conv replaces
         strided/transposed convs everywhere; shapes and gradients intact
@@ -310,6 +312,7 @@ class TestBlocks:
 
 
 class TestDeepLadder:
+    @pytest.mark.slow
     def test_many_layers_mixed_downsample(self, rng):
         # BASELINE config 4 shape: deep ladder, some layers keep resolution
         x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))

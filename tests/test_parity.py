@@ -204,6 +204,7 @@ class TestTrajectoryParity:
             losses.append(float(loss.detach()))
         return losses
 
+    @pytest.mark.slow
     def test_adamax_trajectory(self):
         """(ii) 8 Adamax steps land on the same parameters (f64)."""
         model, variables, tmodel, _ = make_pair(seed=11)

@@ -154,6 +154,31 @@ def main():
     ok &= check("same key deterministic",
                 bool(np.array_equal(np.asarray(e_again).ravel(), draws[0])))
 
+    # --- 4. logsumexp kernel (IW-LL eval path) on hardware ------------------
+    from lvae_tpu.kernels.logsumexp_pallas import pallas_logsumexp
+
+    elbo = jnp.asarray(rng.normal(size=(100, 1000)).astype(np.float32) * 5 - 40)
+    got = jax.jit(pallas_logsumexp)(elbo)
+    want = jax.nn.logsumexp(elbo, axis=0)
+    e4 = float(jnp.abs(got - want).max())
+    ok &= check("logsumexp matches jax.nn.logsumexp", e4 < 1e-5,
+                f"max err {e4:.2e}")
+    # ragged batch -> padded columns, plus a real all--inf column (a fully
+    # masked sample must yield -inf, not NaN — ADVICE r1 fix, on hardware)
+    elbo2 = elbo[:, :999].at[:, 7].set(-jnp.inf)
+    got2 = np.asarray(jax.jit(pallas_logsumexp)(elbo2))
+    want2 = np.asarray(jax.nn.logsumexp(elbo2, axis=0))
+    fin = np.isfinite(want2)
+    ok &= check(
+        "logsumexp ragged + all--inf column",
+        bool(
+            np.allclose(got2[fin], want2[fin], atol=1e-5)
+            and got2[7] == -np.inf
+            and not np.any(np.isnan(got2))
+        ),
+        f"col7={got2[7]}",
+    )
+
     print("\nALL OK" if ok else "\nFAILURES", flush=True)
     return 0 if ok else 1
 
