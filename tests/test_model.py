@@ -352,3 +352,36 @@ class TestDeepLadder:
         model = tiny_model(downsample=(1, 3), img_size=(16, 16))
         with pytest.raises(ValueError, match="not divisible"):
             init_and_run(model, x)
+
+
+class TestCelebAShape:
+    @pytest.mark.slow
+    def test_celeba_64_config_forward_and_generate(self, rng):
+        """BASELINE config 5 shape: 64x64 RGB, mixture likelihood, no pad
+        (64 is already pow-2) — covers the deepest spatial pyramid."""
+        x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+        model = LadderVAE(
+            color_ch=3,
+            z_dims=(4, 4, 4),
+            downsample=(1, 1, 1),
+            blocks_per_layer=1,
+            n_filters=8,
+            img_size=(64, 64),
+            data_size=(64, 64),
+            likelihood="discretized_logistic_mix",
+            dropout_rate=0.0,
+            stochastic_skip=True,
+            learn_top_prior=True,
+        )
+        variables, out = init_and_run(model, x)
+        # scales: stem 32 -> L0 16 -> L1 8 -> L2 4
+        assert out["z"][0].shape == (2, 16, 16, 4)
+        assert out["z"][2].shape == (2, 4, 4, 4)
+        assert out["out_mean"].shape == (2, 64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(out["ll"])))
+        gen = model.apply(
+            variables, 2, method="sample_prior",
+            rngs={"sample": jax.random.key(1)},
+        )
+        assert gen["out_mean"].shape == (2, 64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(gen["out_mean"])))
