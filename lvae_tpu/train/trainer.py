@@ -356,7 +356,17 @@ class Trainer:
                     tracing = False
 
                 if crossed(cfg.log_interval):
-                    dt = time.time() - t_last
+                    if cfg.defer_metrics:
+                        dt = time.time() - t_last
+                    else:
+                        # Fetch BEFORE stopping the clock: device_get drains
+                        # the async queue, so dt then covers the EXECUTION of
+                        # every step in the interval (block_until_ready does
+                        # not gate execution on this runtime — DESIGN.md §2b;
+                        # timing dispatch-only here once inflated the printed
+                        # rate ~20%).
+                        ema = jax.device_get(state.ema)
+                        dt = time.time() - t_last
                     ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
                     if cfg.defer_metrics:
                         # No D2H readback: on remote-TPU (tunneled) runtimes a
@@ -370,7 +380,6 @@ class Trainer:
                         print(f"[train] step {step:>7d}  (metrics deferred)  "
                               f"{ips:>8.0f} img/s dispatched", flush=True)
                     else:
-                        ema = jax.device_get(state.ema)
                         logger.log_train(step, ema, images_per_sec=ips)
                     t_last = time.time()
                     steps_since_log = 0
