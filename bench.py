@@ -140,7 +140,12 @@ def main(argv=None):
     # program for this: cost_analysis counts a lax.scan body once, not
     # x trip-count, so analyzing the steps-per-call program would
     # undercount flops by `spc` (and overstate headroom/understate MFU).
-    single = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+    # At spc==1 the timed program IS the single-step program — reuse it
+    # rather than paying the multi-minute flagship compile twice.
+    if spc > 1:
+        single = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+    else:
+        single = step_fn
     ca = single.lower(
         state, data, jnp.arange(args.batch_size)
     ).compile().cost_analysis() or {}

@@ -86,7 +86,8 @@ class FastDropout(nn.Module):
         t = int(round((1.0 - self.rate) * 256.0))
         if t >= 256:  # rate below the 8-bit resolution: keep everything
             return x
-        t = max(t, 1)
+        if t <= 0:  # rate ~ 1.0: drop everything (nn.Dropout semantics)
+            return jnp.zeros_like(x)
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
         scale = jnp.asarray(256.0 / t, x.dtype)
         return jnp.where(bits < jnp.uint8(t), x * scale, jnp.zeros((), x.dtype))

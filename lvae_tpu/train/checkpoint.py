@@ -34,18 +34,27 @@ def _state_to_tree(state: TrainState) -> dict:
     }
 
 
+def _impl_for_key_data(data) -> str:
+    """PRNG impl inferred from the raw key-data shape: rbg keys carry four
+    uint32 words, threefry two."""
+    return "rbg" if data.shape[-1] == 4 else "threefry2x32"
+
+
 def _tree_to_state(tree: dict, template: TrainState) -> TrainState:
-    # re-wrap with the TEMPLATE's key impl: rbg key data is [4]x uint32 vs
-    # threefry's [2], and wrap_key_data defaults to threefry — a restored
-    # --rng-impl rbg run must come back as an rbg key
-    impl = jax.random.key_impl(template.rng)
+    # Re-wrap with the impl the STORED data implies (rbg key data is [4]x
+    # uint32 vs threefry's [2]; wrap_key_data defaults to threefry). Using
+    # the stored shape rather than the template keeps checkpoints written
+    # under one --rng-impl restorable after the default changed: the run
+    # continues on the restored key's own impl.
     return TrainState(
         step=tree["step"],
         params=tree["params"],
         batch_stats=tree["batch_stats"],
         opt_state=tree["opt_state"],
         ema=tree["ema"],
-        rng=jax.random.wrap_key_data(tree["rng_data"], impl=impl),
+        rng=jax.random.wrap_key_data(
+            tree["rng_data"], impl=_impl_for_key_data(tree["rng_data"])
+        ),
     )
 
 
@@ -73,9 +82,29 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.dir}")
-        tree = self._mngr.restore(
-            step, args=ocp.args.StandardRestore(_state_to_tree(template))
-        )
+        tmpl_tree = _state_to_tree(template)
+        try:
+            tree = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(tmpl_tree)
+            )
+        except ValueError:
+            # rng-impl migration: a checkpoint written under a different
+            # --rng-impl stores 2 key words where the template expects 4 (or
+            # vice versa) and orbax rejects the shape mismatch. Retry with
+            # the OTHER impl's key shape; _tree_to_state then wraps the
+            # restored data with the impl its own shape implies, so old
+            # checkpoints stay restorable after the default changed.
+            other = (
+                "threefry2x32"
+                if tmpl_tree["rng_data"].shape[-1] == 4
+                else "rbg"
+            )
+            tmpl_tree["rng_data"] = jax.random.key_data(
+                jax.random.key(0, impl=other)
+            )
+            tree = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(tmpl_tree)
+            )
         return _tree_to_state(tree, template)
 
     def close(self):

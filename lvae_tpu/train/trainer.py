@@ -424,6 +424,15 @@ class Trainer:
                 f"batch_size {cfg.batch_size} must divide evenly over "
                 f"{cfg.num_data_shards} data shards and {n_proc} processes"
             )
+        if n_proc > 1 and cfg.num_data_shards <= 1:
+            # Without a mesh there is no gradient psum: each process would
+            # train its own diverging replica on its data shard and the
+            # checkpoint would capture only one of them.
+            raise ValueError(
+                f"streaming with {n_proc} processes requires "
+                "--num-data-shards > 1 (a data-parallel mesh) so gradients "
+                "are synchronized across hosts"
+            )
         if cfg.num_data_shards > 1:
             from lvae_tpu.parallel import make_mesh
 

@@ -293,6 +293,18 @@ class TestBlocks:
         )
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
+    def test_fast_dropout_rate_one_drops_all(self):
+        # nn.Dropout(rate=1.0) zeroes everything; bits8 must too (not keep
+        # 1/256 of elements scaled by 256)
+        from lvae_tpu.models.blocks import FastDropout
+
+        x = jnp.ones((8, 8), jnp.float32)
+        for rate in (1.0, 0.999):
+            y = FastDropout(rate).apply(
+                {}, x, deterministic=False, rngs={"dropout": jax.random.key(0)}
+            )
+            np.testing.assert_array_equal(np.asarray(y), np.zeros_like(x))
+
     def test_bad_dropout_impl_raises(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
         blk = ResidualBlock(channels=8, dropout_rate=0.2, dropout_impl="bogus")

@@ -113,6 +113,36 @@ class TestCheckpoint:
         state2 = Trainer(exp2).run()
         assert int(state2.step) == 15
 
+    def test_restore_across_rng_impl_change(self, tmp_path):
+        """A checkpoint saved under one --rng-impl restores into a template
+        built with the OTHER impl (pre-rbg-default checkpoints must not be
+        bricked): the run continues on the stored key's impl."""
+        for saved_impl, other_impl in (("threefry", "rbg"), ("rbg", "threefry")):
+            run = tmp_path / f"run_{saved_impl}"
+            cfg = tiny_cfg(
+                max_steps=2, dry_run=False, checkpoint_interval=2,
+                output_dir=str(tmp_path), run_name=run.name,
+                rng_impl=saved_impl,
+            )
+            state = Trainer(Experiment(cfg)).run()
+
+            exp2 = Experiment(tiny_cfg(rng_impl=other_impl))
+            template = exp2.init_state()
+            restored = CheckpointManager(str(run)).restore(template)
+            assert int(restored.step) == 2
+            want_impl = {"threefry": "threefry2x32"}.get(saved_impl, saved_impl)
+            assert str(jax.random.key_impl(restored.rng)) == want_impl
+            np.testing.assert_array_equal(
+                np.asarray(jax.random.key_data(restored.rng)),
+                np.asarray(jax.random.key_data(state.rng)),
+            )
+
+    def test_streaming_multihost_without_mesh_raises(self, monkeypatch):
+        exp = Experiment(tiny_cfg(streaming=True, max_steps=2, batch_size=16))
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="num-data-shards"):
+            Trainer(exp).run()
+
     def test_config_json_rebuilds(self, tmp_path):
         cfg = tiny_cfg(
             max_steps=2, dry_run=False, output_dir=str(tmp_path), run_name="r"

@@ -70,8 +70,7 @@ def main(argv=None):
     mngr = CheckpointManager(args.run_dir)
     mngr.save(state, wait=True)
     mngr.close()
-    n = len(list((k for k in sd)))
-    print(f"converted {n} state_dict entries -> {args.run_dir} (step 0); "
+    print(f"converted {len(sd)} state_dict entries -> {args.run_dir} (step 0); "
           f"evaluate with: python evaluate.py --load {args.run_dir}")
 
 

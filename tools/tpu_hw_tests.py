@@ -34,7 +34,11 @@ def check(name, ok, detail=""):
 
 
 def main():
-    if jax.default_backend() not in ("tpu", "axon"):
+    # Must match the kernels' own _interpret() gate (backend != 'tpu' runs
+    # interpret mode): accepting any other backend name here would silently
+    # test the CPU interpret path and report ALL OK without ever compiling
+    # Mosaic. (This box's tunneled TPU reports backend 'tpu'.)
+    if jax.default_backend() != "tpu":
         print("this is a hardware test; no TPU backend found", file=sys.stderr)
         return 2
     sys.path.insert(0, ".")
