@@ -63,7 +63,12 @@ def main(argv=None):
     # are 33 MB (vs 268 MB at b2048), small enough for XLA to keep more
     # intermediates VMEM-resident — measured 35k img/s at b256 vs 29k at
     # b2048 with identical per-image work (RESULTS.md batch sweep).
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default: 256 (mnist preset) / 128 (celeba64)")
+    p.add_argument("--preset", default="mnist", choices=["mnist", "celeba64"],
+                   help="mnist: the flagship 28x28 Bernoulli config; "
+                        "celeba64: 64x64 RGB, 4 stochastic layers, "
+                        "discretized-logistic-mix head (BASELINE config 5)")
     p.add_argument("--steps", type=int, default=128,
                    help="timed steps = --steps x --steps-per-call")
     p.add_argument("--warmup", type=int, default=8, help="warmup dispatches")
@@ -78,6 +83,9 @@ def main(argv=None):
                    help="print the accounting breakdown to stderr")
     args = p.parse_args(argv)
 
+    if args.batch_size is None:
+        # per-preset throughput-optimal batch (RESULTS.md batch sweeps)
+        args.batch_size = 128 if args.preset == "celeba64" else 256
     if args.smoke:
         args.batch_size, args.steps, args.warmup = 32, 5, 2
         args.n_filters, args.blocks_per_layer = 16, 1
@@ -90,20 +98,30 @@ def main(argv=None):
     from lvae_tpu.train import Experiment, make_train_step
     from lvae_tpu.train.state import make_multi_train_step
 
-    # synthetic static-MNIST-like data, device resident (data path identical
-    # to a real run: gather + preprocess inside the step)
+    # synthetic device-resident data matching the preset (data path is
+    # identical to a real run: gather + on-device preprocess inside the step)
     rng = np.random.default_rng(0)
     n_train = max(4 * args.batch_size, 4096) if not args.smoke else 256
-    train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
-    bundle = DatasetBundle(
-        name="bench", train=train, test=train[:256], img_size=(28, 28),
-        padded_size=(32, 32), color_ch=1, preprocess="none",
-        default_likelihood="bernoulli",
-    )
+    if args.preset == "celeba64":
+        train = rng.integers(0, 256, size=(n_train, 64, 64, 3), dtype=np.uint8)
+        bundle = DatasetBundle(
+            name="bench", train=train, test=train[:256], img_size=(64, 64),
+            padded_size=(64, 64), color_ch=3, preprocess="dequantize",
+            default_likelihood="discretized_logistic_mix",
+        )
+        zdims, downsample = (32, 32, 32, 32), (1, 1, 1, 1)
+    else:
+        train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
+        bundle = DatasetBundle(
+            name="bench", train=train, test=train[:256], img_size=(28, 28),
+            padded_size=(32, 32), color_ch=1, preprocess="none",
+            default_likelihood="bernoulli",
+        )
+        zdims, downsample = (32, 32, 32), (1, 1, 1)
     cfg = ExperimentConfig(
         dataset="bench",
-        zdims=(32, 32, 32),
-        downsample=(1, 1, 1),
+        zdims=zdims,
+        downsample=downsample,
         blocks_per_layer=args.blocks_per_layer,
         n_filters=args.n_filters,
         skip=True,
@@ -216,6 +234,7 @@ def main(argv=None):
                 "device": device_kind,
                 "peak_flops": peak,
                 "config": {
+                    "preset": args.preset,
                     "batch_size": args.batch_size,
                     "steps_per_call": spc,
                     "timed_steps": args.steps * spc,
