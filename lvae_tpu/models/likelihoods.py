@@ -102,15 +102,17 @@ class DiscretizedLogisticMixLikelihood(nn.Module):
     color_ch: int
     n_components: int = 10
     n_bins: int = 256
+    fused: bool = False   # Pallas fused log-prob kernel (kernels/mixture_pallas)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x):
         k = self.n_components
-        params = nn.Conv(
+        raw = nn.Conv(
             k * (1 + 3 * self.color_ch), (1, 1), name="param_conv",
             dtype=self.dtype, kernel_init=nn.initializers.normal(1e-2),
-        )(h).astype(jnp.float32)
+        )(h)
+        params = raw.astype(jnp.float32)
         # mixture mean (for viz): sum_k pi_k * mu_k, coeffs ignored
         logit_pi = params[..., :k]
         means = params[..., k : k + k * self.color_ch]
@@ -120,16 +122,25 @@ class DiscretizedLogisticMixLikelihood(nn.Module):
         data = {"params": params, "mean": mix_mean, "mode": mix_mean}
         if x is None:
             return None, data
-        ll_pixel = discretized_logistic_mix_log_prob(
-            x, params, n_components=k, n_bins=self.n_bins
-        )
+        if self.fused:
+            from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+
+            # feed the RAW (possibly bf16) conv output: the kernel upcasts
+            # per block, halving the custom-call boundary traffic
+            ll_pixel = fused_mix_log_prob(
+                x, raw, n_components=k, n_bins=self.n_bins
+            )
+        else:
+            ll_pixel = discretized_logistic_mix_log_prob(
+                x, params, n_components=k, n_bins=self.n_bins
+            )
         ll = jnp.repeat(
             ll_pixel[..., None] / self.color_ch, self.color_ch, axis=-1
         )
         return ll, data
 
 
-def make_likelihood(name: str, color_ch: int, dtype=None) -> nn.Module:
+def make_likelihood(name: str, color_ch: int, dtype=None, fused=False) -> nn.Module:
     if name == "bernoulli":
         return BernoulliLikelihood(color_ch, dtype=dtype)
     if name == "gaussian":
@@ -137,7 +148,7 @@ def make_likelihood(name: str, color_ch: int, dtype=None) -> nn.Module:
     if name == "discretized_logistic":
         return DiscretizedLogisticLikelihood(color_ch, dtype=dtype)
     if name == "discretized_logistic_mix":
-        return DiscretizedLogisticMixLikelihood(color_ch, dtype=dtype)
+        return DiscretizedLogisticMixLikelihood(color_ch, dtype=dtype, fused=fused)
     raise ValueError(f"unknown likelihood {name!r}; choose from {LIKELIHOODS}")
 
 

@@ -308,7 +308,7 @@ class LadderVAE(nn.Module):
         )
         self.final_blocks = final
         self.likelihood_head = make_likelihood(
-            self.likelihood, self.color_ch, dtype=self.dtype
+            self.likelihood, self.color_ch, dtype=self.dtype, fused=self.fused
         )
 
     # ------------------------------------------------------------------

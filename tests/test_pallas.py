@@ -228,3 +228,96 @@ class TestPallasLogsumexp:
         out = pallas_logsumexp(x)
         ref = jax.nn.logsumexp(x, axis=0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
+
+
+class TestFusedMixtureLogProb:
+    """Pallas discretized-logistic-mixture head vs the XLA oracle."""
+
+    def _data(self, rng, b=8, h=8, w=8, k=10):
+        x = jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+        # quantize to the 256-level grid (like real dequantized pixels' bin
+        # centers) and include exact 0/1 edge pixels
+        x = jnp.round(x * 255.0) / 255.0
+        p = jnp.asarray(
+            rng.normal(size=(b, h, w, k * 10)).astype(np.float32)
+        )
+        return x, p
+
+    def test_forward_matches_oracle(self, rng):
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        got = fused_mix_log_prob(x, p)
+        want = discretized_logistic_mix_log_prob(x, p)
+        assert got.shape == want.shape == x.shape[:3]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_forward_edge_pixels(self, rng):
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        x = x.at[:, 0, 0, :].set(0.0).at[:, 1, 1, :].set(1.0)
+        np.testing.assert_allclose(
+            np.asarray(fused_mix_log_prob(x, p)),
+            np.asarray(discretized_logistic_mix_log_prob(x, p)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_gradients_match_oracle(self, rng):
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        gcot = jnp.asarray(rng.standard_normal(x.shape[:3]).astype(np.float32))
+
+        g_fused = jax.grad(
+            lambda pp: jnp.sum(fused_mix_log_prob(x, pp) * gcot)
+        )(p)
+        g_ref = jax.grad(
+            lambda pp: jnp.sum(discretized_logistic_mix_log_prob(x, pp) * gcot)
+        )(p)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=2e-4, atol=2e-5
+        )
+
+    def test_fallback_for_unfriendly_shapes(self, rng):
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        # C=1 and odd batch both fall back to the oracle
+        x1 = jnp.asarray(rng.uniform(size=(4, 8, 8, 1)).astype(np.float32))
+        p1 = jnp.asarray(rng.normal(size=(4, 8, 8, 40)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(fused_mix_log_prob(x1, p1)),
+            np.asarray(discretized_logistic_mix_log_prob(x1, p1)),
+            rtol=1e-6,
+        )
+        x3 = jnp.asarray(rng.uniform(size=(3, 8, 8, 3)).astype(np.float32))
+        p3 = jnp.asarray(rng.normal(size=(3, 8, 8, 100)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(fused_mix_log_prob(x3, p3)),
+            np.asarray(discretized_logistic_mix_log_prob(x3, p3)),
+            rtol=1e-6,
+        )
+
+    def test_head_module_fused_matches_unfused(self, rng):
+        from lvae_tpu.models.likelihoods import DiscretizedLogisticMixLikelihood
+
+        h = jnp.asarray(rng.standard_normal((8, 8, 8, 16)).astype(np.float32))
+        x = jnp.round(
+            jnp.asarray(rng.uniform(size=(8, 8, 8, 3)).astype(np.float32)) * 255
+        ) / 255
+        k = jax.random.key(0)
+        ref = DiscretizedLogisticMixLikelihood(color_ch=3, fused=False)
+        v = ref.init(k, h, x)
+        ll_ref, _ = ref.apply(v, h, x)
+        fus = DiscretizedLogisticMixLikelihood(color_ch=3, fused=True)
+        ll_fus, data = fus.apply(v, h, x)
+        np.testing.assert_allclose(
+            np.asarray(ll_fus), np.asarray(ll_ref), rtol=1e-5, atol=1e-5
+        )
+        assert np.all(np.isfinite(np.asarray(data["mean"])))

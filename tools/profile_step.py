@@ -34,14 +34,24 @@ def build_step(args):
 
     rng = np.random.default_rng(0)
     n_train = max(2 * args.batch_size, 4096)
-    train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
-    bundle = DatasetBundle(
-        name="prof", train=train, test=train[:256], img_size=(28, 28),
-        padded_size=(32, 32), color_ch=1, preprocess="none",
-        default_likelihood="bernoulli",
-    )
+    if args.preset == "celeba64":
+        train = rng.integers(0, 256, size=(n_train, 64, 64, 3), dtype=np.uint8)
+        bundle = DatasetBundle(
+            name="prof", train=train, test=train[:256], img_size=(64, 64),
+            padded_size=(64, 64), color_ch=3, preprocess="dequantize",
+            default_likelihood="discretized_logistic_mix",
+        )
+        zdims, downsample = (32, 32, 32, 32), (1, 1, 1, 1)
+    else:
+        train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
+        bundle = DatasetBundle(
+            name="prof", train=train, test=train[:256], img_size=(28, 28),
+            padded_size=(32, 32), color_ch=1, preprocess="none",
+            default_likelihood="bernoulli",
+        )
+        zdims, downsample = (32, 32, 32), (1, 1, 1)
     cfg = ExperimentConfig(
-        dataset="prof", zdims=(32, 32, 32), downsample=(1, 1, 1),
+        dataset="prof", zdims=zdims, downsample=downsample,
         blocks_per_layer=2, n_filters=64, skip=True, gated=True,
         learn_top_prior=True, freebits=0.5, batch_size=args.batch_size,
         dropout=args.dropout, seed=0, fused=args.fused,
@@ -58,8 +68,9 @@ def build_step(args):
 
 
 def collect_device_events(trace_dir):
-    """Parse all .trace.json.gz files; return (events, total_us) where
-    events are complete-events from device lanes (TensorCore pids)."""
+    """Parse all .trace.json.gz files; return complete-events from the
+    device "XLA Ops" lanes only (the Steps / XLA Modules lanes are
+    per-step envelopes that would double-count every op)."""
     paths = glob.glob(
         os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz")
     )
@@ -70,23 +81,32 @@ def collect_device_events(trace_dir):
         with gzip.open(path, "rt") as f:
             data = json.load(f)
         ev = data.get("traceEvents", [])
-        # identify device process ids: process_name metadata containing
-        # "TPU" / "Chip" / "device" but not host threads
-        device_pids = set()
+        device_pids, op_lanes = set(), set()
         for e in ev:
-            if e.get("ph") == "M" and e.get("name") == "process_name":
+            if e.get("ph") != "M":
+                continue
+            if e.get("name") == "process_name":
                 name = e.get("args", {}).get("name", "")
                 if any(s in name for s in ("TPU", "Device", "/device:")):
                     device_pids.add(e["pid"])
+            elif e.get("name") == "thread_name":
+                if e.get("args", {}).get("name") == "XLA Ops":
+                    op_lanes.add((e["pid"], e.get("tid")))
         for e in ev:
-            if e.get("ph") == "X" and e.get("pid") in device_pids:
+            if (
+                e.get("ph") == "X"
+                and e.get("pid") in device_pids
+                and (e["pid"], e.get("tid")) in op_lanes
+            ):
                 events.append(e)
     return events
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default: 256 (mnist) / 128 (celeba64)")
+    p.add_argument("--preset", default="mnist", choices=["mnist", "celeba64"])
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--fused", default="none", choices=["none", "pallas"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
@@ -95,6 +115,8 @@ def main():
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--out", default=None, help="trace dir (default: tmp)")
     args = p.parse_args()
+    if args.batch_size is None:
+        args.batch_size = 128 if args.preset == "celeba64" else 256
 
     step_fn, state, data, idx = build_step(args)
 
@@ -113,22 +135,39 @@ def main():
     if not events:
         raise SystemExit("trace parsed but no device events found")
 
+    import re
+
     by_name = defaultdict(float)
+    by_cat = defaultdict(float)
+    by_stage = defaultdict(float)
     count = defaultdict(int)
-    total = 0.0
+    total = bytes_total = 0.0
+    b = args.batch_size
     for e in events:
         dur = e.get("dur", 0.0)  # us
+        a = e.get("args", {})
         total += dur
         by_name[e["name"]] += dur
         count[e["name"]] += 1
+        by_cat[re.sub(r"[.\d]+$", "", e["name"])] += dur
+        bytes_total += float(a.get("raw_bytes_accessed", 0) or 0)
+        m = re.search(rf"\[{b},(\d+),(\d+)", str(a.get("long_name", "")))
+        by_stage[f"{m.group(1)}x{m.group(2)}" if m else "other"] += dur
     per_step = total / args.steps
 
     print(f"trace dir: {trace_dir}")
-    print(f"device busy time: {total/1e3:.2f} ms over {args.steps} steps "
-          f"-> {per_step/1e3:.2f} ms/step device-busy")
-    print(f"{'op':<72} {'ms/step':>9} {'%':>6} {'calls':>6}")
+    print(f"device busy: {per_step/1e3:.2f} ms/step, "
+          f"{bytes_total/args.steps/1e9:.2f} GB/step accessed "
+          f"(819 GB/s floor = {bytes_total/args.steps/819e9*1e3:.2f} ms)")
+    print("-- by category --")
+    for name, us in sorted(by_cat.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"{name[:48]:<48} {us/args.steps/1e3:8.3f} ms {100*us/total:5.1f}%")
+    print("-- by spatial stage (batch-major shapes) --")
+    for name, us in sorted(by_stage.items(), key=lambda kv: -kv[1])[:8]:
+        print(f"{name:>10} {us/args.steps/1e3:8.2f} ms {100*us/total:5.1f}%")
+    print(f"-- top ops --\n{'op':<60} {'ms/step':>9} {'%':>6} {'calls':>6}")
     for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"{name[:72]:<72} {us/args.steps/1e3:9.3f} "
+        print(f"{name[:60]:<60} {us/args.steps/1e3:9.3f} "
               f"{100*us/total:6.2f} {count[name]:6d}")
 
 
