@@ -48,6 +48,23 @@ PEAK_FLOPS = {
     "cpu": 1e12,             # nominal; CI smoke only
 }
 
+# HBM bandwidth per chip (bytes/s) for byte-roofline accounting
+HBM_BW = {
+    "TPU v5 lite": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "cpu": 100e9,
+}
+
+
+def device_hbm_bw() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_BW.items():
+        if k.lower() in kind.lower():
+            return v
+    return HBM_BW["cpu"]
+
 
 def device_peak_flops() -> tuple[str, float]:
     kind = jax.devices()[0].device_kind
@@ -94,30 +111,14 @@ def main(argv=None):
 
     enable_persistent_cache()
     from lvae_tpu.config import ExperimentConfig
-    from lvae_tpu.data.registry import DatasetBundle
+    from lvae_tpu.data.registry import bench_preset
     from lvae_tpu.train import Experiment, make_train_step
     from lvae_tpu.train.state import make_multi_train_step
 
     # synthetic device-resident data matching the preset (data path is
     # identical to a real run: gather + on-device preprocess inside the step)
-    rng = np.random.default_rng(0)
     n_train = max(4 * args.batch_size, 4096) if not args.smoke else 256
-    if args.preset == "celeba64":
-        train = rng.integers(0, 256, size=(n_train, 64, 64, 3), dtype=np.uint8)
-        bundle = DatasetBundle(
-            name="bench", train=train, test=train[:256], img_size=(64, 64),
-            padded_size=(64, 64), color_ch=3, preprocess="dequantize",
-            default_likelihood="discretized_logistic_mix",
-        )
-        zdims, downsample = (32, 32, 32, 32), (1, 1, 1, 1)
-    else:
-        train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
-        bundle = DatasetBundle(
-            name="bench", train=train, test=train[:256], img_size=(28, 28),
-            padded_size=(32, 32), color_ch=1, preprocess="none",
-            default_likelihood="bernoulli",
-        )
-        zdims, downsample = (32, 32, 32), (1, 1, 1)
+    bundle, zdims, downsample = bench_preset(args.preset, n_train)
     cfg = ExperimentConfig(
         dataset="bench",
         zdims=zdims,
@@ -198,6 +199,11 @@ def main(argv=None):
 
     n_images = args.steps * spc * args.batch_size
     ips = n_images / dt
+    # The BASELINE target is defined in 32x32 images/sec; normalize other
+    # resolutions by pixel count so vs_baseline compares like with like
+    # (celeba64 images are 4x the pixels of the target's unit).
+    mh, mw = exp.bundle.padded_size
+    ips_32 = ips * (mh * mw) / 1024.0
     achieved_flops = ips * flops_per_image
     mfu = achieved_flops / peak if peak else 0.0
 
@@ -228,7 +234,8 @@ def main(argv=None):
                 "metric": "train_images_per_sec_per_chip",
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
+                "vs_baseline": round(ips_32 / BASELINE_IMG_PER_SEC, 4),
+                "img32_equivalent_per_sec": round(ips_32, 1),
                 "mfu": round(mfu, 4),
                 "flops_per_image": round(flops_per_image, 1),
                 "device": device_kind,

@@ -99,6 +99,30 @@ def stub_bundle(name: str, n: int = 8) -> DatasetBundle:
     return DatasetBundle(name, arr, arr, img, padded, ch, pre, lik)
 
 
+def bench_preset(preset: str, n_train: int):
+    """(bundle, zdims, downsample) for the synthetic benchmark/profiling
+    presets shared by ``bench.py`` and ``tools/profile_step.py`` — one
+    source of truth so the profiled model is always the benchmarked one.
+    'mnist' is the flagship 28x28 Bernoulli config; 'celeba64' is BASELINE
+    config 5 (64x64 RGB, 4 stochastic layers, logistic-mixture head)."""
+    rng = np.random.default_rng(0)
+    if preset == "celeba64":
+        train = rng.integers(0, 256, size=(n_train, 64, 64, 3), dtype=np.uint8)
+        bundle = DatasetBundle(
+            "bench", train, train[:256], (64, 64), (64, 64), 3,
+            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
+        )
+        return bundle, (32, 32, 32, 32), (1, 1, 1, 1)
+    if preset == "mnist":
+        train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
+        bundle = DatasetBundle(
+            "bench", train, train[:256], (28, 28), (32, 32), 1,
+            PREPROCESS_NONE, "bernoulli",
+        )
+        return bundle, (32, 32, 32), (1, 1, 1)
+    raise ValueError(f"unknown bench preset {preset!r}")
+
+
 def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
     """Build the :class:`DatasetBundle` for a dataset name.
 

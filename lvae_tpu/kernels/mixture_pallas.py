@@ -190,7 +190,7 @@ def _fwd_kernel(k, n_bins, *refs):
 
 
 def _bwd_kernel(k, n_bins, *refs):
-    *ins, g_ref, dpi_ref, dm_ref, dls_ref, dco_ref = refs
+    *ins, g_ref, dpi_ref, dm_ref, dls_ref, dco_ref, dx_ref = refs
     r = _load(ins)
     core = _mixture_core(r, k, n_bins, want_grads=True)
     s_k = core["s_k"]
@@ -220,6 +220,17 @@ def _bwd_kernel(k, n_bins, *refs):
         axis=1,
     )
     dco_ref[:] = dco.astype(dco_ref.dtype)
+    # x cotangent (on the [-1,1] scale, x2 chain rule applied): the bin
+    # log-prob depends on (xs_c - m_c) so its direct term is -dL/dm_c; the
+    # autoregression adds tanh(co)-weighted couplings into earlier channels.
+    sk = lambda t: jnp.sum(t, axis=1, keepdims=True)
+    dm0 = dm[:, :k, :]
+    dxs0 = -sk(dm0) + sk(dm1 * co[:, :k, :]) + sk(dm2 * co[:, k : 2 * k, :])
+    dxs1 = -sk(dm1) + sk(dm2 * co[:, 2 * k :, :])
+    dxs2 = -sk(dm2)
+    dx_ref[:] = (
+        2.0 * jnp.concatenate([dxs0, dxs1, dxs2], axis=1)
+    ).astype(dx_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +239,8 @@ def _bwd_kernel(k, n_bins, *refs):
 
 
 def _dims(x, params, k, bwd=False):
+    if x.ndim != 4:  # [B, H, W, C] only (the oracle allows extra leading dims)
+        return None
     b = x.shape[0]
     hw = x.shape[1] * x.shape[2]
     c = x.shape[-1]
@@ -302,9 +315,9 @@ def _run_bwd(x, params, g, k, n_bins):
     ops = _operands(x, params, k, b, hw)
     gt = _to_kb(g[..., None].astype(jnp.float32), hw, b)
     kb = lambda q: jax.ShapeDtypeStruct((hw, q, b), jnp.float32)
-    dpi, dm, dls, dco = pl.pallas_call(
+    dpi, dm, dls, dco, dxs = pl.pallas_call(
         functools.partial(_bwd_kernel, k, n_bins),
-        out_shape=(kb(k), kb(3 * k), kb(3 * k), kb(3 * k)),
+        out_shape=(kb(k), kb(3 * k), kb(3 * k), kb(3 * k), kb(3)),
         grid=(hw // hw_t, b // b_t),
         in_specs=_operand_specs(k, hw_t, b_t) + [_spec(1, hw_t, b_t)],
         out_specs=(
@@ -312,6 +325,7 @@ def _run_bwd(x, params, g, k, n_bins):
             _spec(3 * k, hw_t, b_t),
             _spec(3 * k, hw_t, b_t),
             _spec(3 * k, hw_t, b_t),
+            _spec(3, hw_t, b_t),
         ),
         interpret=_interpret(),
     )(*ops, gt)
@@ -322,7 +336,8 @@ def _run_bwd(x, params, g, k, n_bins):
     ).reshape(hw, 3 * k, b)
     dp = jnp.concatenate([dpi, kmaj(dm), kmaj(dls), kmaj(dco)], axis=1)
     h, w = x.shape[1], x.shape[2]
-    return jnp.transpose(dp.reshape(h, w, -1, b), (3, 0, 1, 2))
+    back = lambda t: jnp.transpose(t.reshape(h, w, -1, b), (3, 0, 1, 2))
+    return back(dp), back(dxs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -336,10 +351,8 @@ def _fwd_rule(x, params, k, n_bins):
 
 def _bwd_rule(k, n_bins, res, g):
     x, params = res
-    dparams = _run_bwd(x, params, g, k, n_bins)
-    # x is observed data — no cotangent needed (None would break if a
-    # caller differentiates wrt x; zeros keeps the contract explicit)
-    return jnp.zeros_like(x), dparams.astype(params.dtype)
+    dparams, dx = _run_bwd(x, params, g, k, n_bins)
+    return dx.astype(x.dtype), dparams.astype(params.dtype)
 
 
 _fused_mix.defvjp(_fwd_rule, _bwd_rule)
@@ -353,13 +366,16 @@ def fused_mix_log_prob(
 ) -> jnp.ndarray:
     """Drop-in fused version of
     ``ops.likelihoods.discretized_logistic_mix_log_prob`` (same [B, H, W]
-    output). Falls back to the XLA oracle for C != 3 or tile-unfriendly
-    shapes. Gradients flow to ``params`` only (x is data)."""
+    output, full gradients wrt both arguments). Falls back to the XLA
+    oracle for C != 3, extra leading dims, or tile-unfriendly shapes."""
     from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
 
     if _dims(x, params, n_components) is None:
+        # match the fused path's fp32 compute (callers may hand us raw
+        # bf16 conv outputs; the likelihood contract is fp32 math)
         return discretized_logistic_mix_log_prob(
-            x, params, n_components, n_bins
+            x.astype(jnp.float32), params.astype(jnp.float32),
+            n_components, n_bins,
         )
     # no dtype cast here: operands stream to the kernel in their storage
     # dtype (bf16 conv outputs stay bf16 — half the boundary traffic) and

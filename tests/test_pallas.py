@@ -321,3 +321,23 @@ class TestFusedMixtureLogProb:
             np.asarray(ll_fus), np.asarray(ll_ref), rtol=1e-5, atol=1e-5
         )
         assert np.all(np.isfinite(np.asarray(data["mean"])))
+
+    def test_x_gradients_match_oracle(self, rng):
+        """The hand-derived x cotangent (direct bin term + autoregression
+        couplings) matches jax.grad of the oracle wrt the image."""
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        # keep away from bin-edge select boundaries (non-differentiable)
+        x = jnp.clip(x, 16 / 255.0, 239 / 255.0)
+        gcot = jnp.asarray(rng.standard_normal(x.shape[:3]).astype(np.float32))
+        g_fused = jax.grad(
+            lambda xx: jnp.sum(fused_mix_log_prob(xx, p) * gcot)
+        )(x)
+        g_ref = jax.grad(
+            lambda xx: jnp.sum(discretized_logistic_mix_log_prob(xx, p) * gcot)
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+        )

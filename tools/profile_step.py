@@ -21,7 +21,6 @@ import sys
 import tempfile
 from collections import defaultdict
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -29,27 +28,14 @@ import jax.numpy as jnp
 def build_step(args):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from lvae_tpu.config import ExperimentConfig
-    from lvae_tpu.data.registry import DatasetBundle
     from lvae_tpu.train import Experiment, make_train_step
 
-    rng = np.random.default_rng(0)
     n_train = max(2 * args.batch_size, 4096)
-    if args.preset == "celeba64":
-        train = rng.integers(0, 256, size=(n_train, 64, 64, 3), dtype=np.uint8)
-        bundle = DatasetBundle(
-            name="prof", train=train, test=train[:256], img_size=(64, 64),
-            padded_size=(64, 64), color_ch=3, preprocess="dequantize",
-            default_likelihood="discretized_logistic_mix",
-        )
-        zdims, downsample = (32, 32, 32, 32), (1, 1, 1, 1)
-    else:
-        train = (rng.uniform(size=(n_train, 28, 28, 1)) < 0.5).astype(np.uint8)
-        bundle = DatasetBundle(
-            name="prof", train=train, test=train[:256], img_size=(28, 28),
-            padded_size=(32, 32), color_ch=1, preprocess="none",
-            default_likelihood="bernoulli",
-        )
-        zdims, downsample = (32, 32, 32), (1, 1, 1)
+    # same source of truth as bench.py so the profiled model IS the
+    # benchmarked one
+    from lvae_tpu.data.registry import bench_preset
+
+    bundle, zdims, downsample = bench_preset(args.preset, n_train)
     cfg = ExperimentConfig(
         dataset="prof", zdims=zdims, downsample=downsample,
         blocks_per_layer=2, n_filters=64, skip=True, gated=True,
@@ -92,11 +78,17 @@ def collect_device_events(trace_dir):
             elif e.get("name") == "thread_name":
                 if e.get("args", {}).get("name") == "XLA Ops":
                     op_lanes.add((e["pid"], e.get("tid")))
+        if not op_lanes:
+            # profiler versions name lanes differently; fall back to every
+            # device lane (envelope double-counting beats a hard exit)
+            print("warning: no 'XLA Ops' lane found; summing all device "
+                  "lanes (per-op totals may double-count envelopes)")
+            op_lanes = None
         for e in ev:
             if (
                 e.get("ph") == "X"
                 and e.get("pid") in device_pids
-                and (e["pid"], e.get("tid")) in op_lanes
+                and (op_lanes is None or (e["pid"], e.get("tid")) in op_lanes)
             ):
                 events.append(e)
     return events
@@ -155,10 +147,14 @@ def main():
         by_stage[f"{m.group(1)}x{m.group(2)}" if m else "other"] += dur
     per_step = total / args.steps
 
+    import bench as bench_mod
+
+    bw = bench_mod.device_hbm_bw()
     print(f"trace dir: {trace_dir}")
     print(f"device busy: {per_step/1e3:.2f} ms/step, "
           f"{bytes_total/args.steps/1e9:.2f} GB/step accessed "
-          f"(819 GB/s floor = {bytes_total/args.steps/819e9*1e3:.2f} ms)")
+          f"({bw/1e9:.0f} GB/s floor = "
+          f"{bytes_total/args.steps/bw*1e3:.2f} ms)")
     print("-- by category --")
     for name, us in sorted(by_cat.items(), key=lambda kv: -kv[1])[:10]:
         print(f"{name[:48]:<48} {us/args.steps/1e3:8.3f} ms {100*us/total:5.1f}%")
