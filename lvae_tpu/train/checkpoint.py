@@ -67,6 +67,9 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, save_interval_steps=save_interval
             ),
+            # registering the handler lets item_metadata() work on a fresh
+            # manager instance (restore-time rng-impl shape detection below)
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(self, state: TrainState, wait: bool = False) -> None:
@@ -83,28 +86,27 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.dir}")
         tmpl_tree = _state_to_tree(template)
+        # rng-impl migration: a checkpoint written under a different
+        # --rng-impl stores 2 key words where the template expects 4 (or
+        # vice versa). Read the STORED shape from the checkpoint metadata
+        # and adapt the template before restoring — no exception-driven
+        # retry, so an unrelated restore failure (e.g. a param shape
+        # mismatch from wrong architecture flags) surfaces as-is.
+        # _tree_to_state then wraps the restored data with the impl its own
+        # shape implies, so old checkpoints stay restorable after the
+        # default changed.
         try:
-            tree = self._mngr.restore(
-                step, args=ocp.args.StandardRestore(tmpl_tree)
-            )
-        except ValueError:
-            # rng-impl migration: a checkpoint written under a different
-            # --rng-impl stores 2 key words where the template expects 4 (or
-            # vice versa) and orbax rejects the shape mismatch. Retry with
-            # the OTHER impl's key shape; _tree_to_state then wraps the
-            # restored data with the impl its own shape implies, so old
-            # checkpoints stay restorable after the default changed.
-            other = (
-                "threefry2x32"
-                if tmpl_tree["rng_data"].shape[-1] == 4
-                else "rbg"
-            )
+            stored = tuple(self._mngr.item_metadata(step).tree["rng_data"].shape)
+        except Exception:
+            stored = None  # metadata layout unknown: restore as requested
+        if stored is not None and stored != tuple(tmpl_tree["rng_data"].shape):
+            impl = "rbg" if stored[-1] == 4 else "threefry2x32"
             tmpl_tree["rng_data"] = jax.random.key_data(
-                jax.random.key(0, impl=other)
+                jax.random.key(0, impl=impl)
             )
-            tree = self._mngr.restore(
-                step, args=ocp.args.StandardRestore(tmpl_tree)
-            )
+        tree = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(tmpl_tree)
+        )
         return _tree_to_state(tree, template)
 
     def close(self):

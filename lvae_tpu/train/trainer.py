@@ -50,6 +50,7 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         blocks_per_layer=cfg.blocks_per_layer,
         n_filters=cfg.n_filters,
         stochastic_skip=cfg.skip,
+        skip_merge_mode=cfg.skip_merge,
         gated=cfg.gated,
         downsample=tuple(cfg.downsample),
         learn_top_prior=cfg.learn_top_prior,
@@ -63,6 +64,7 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         res_block_type=cfg.residual_type,
         merge_type=cfg.merge_layers,
         resample_mode=cfg.resample_mode,
+        conv_pad=cfg.conv_pad,
         no_initial_downscaling=cfg.no_initial_downscaling,
         fused=cfg.fused == "pallas",
         dtype=dtype,
@@ -101,7 +103,26 @@ class Experiment:
         self._eval_init, accum = make_eval_accum_step(
             self.model, self.loss_cfg, len(cfg.zdims)
         )
-        self._eval_accum = jax.jit(accum, donate_argnums=(4,))
+        # Evaluation parallelizes over the data mesh like training: the
+        # batch (and its index vector) shard on the data axis, state and
+        # the accumulator replicate; XLA inserts the cross-device reduction
+        # for the masked sums. Per-image eval keys make the result
+        # independent of the device count (up to summation order).
+        self.mesh = None
+        if cfg.num_data_shards > 1:
+            from lvae_tpu.parallel import make_mesh, replicated, shard_batch
+
+            self.mesh = make_mesh(cfg.num_data_shards)
+            rep = replicated(self.mesh)
+            sh = shard_batch(self.mesh)
+            self._eval_accum = jax.jit(
+                accum,
+                in_shardings=(rep, sh, sh, rep, rep, rep),
+                out_shardings=rep,
+                donate_argnums=(5,),
+            )
+        else:
+            self._eval_accum = jax.jit(accum, donate_argnums=(5,))
 
     # ------------------------------------------------------------------
     def init_state(self, data_dep_init: Optional[bool] = None) -> TrainState:
@@ -142,19 +163,28 @@ class Experiment:
         """Full test-set ELBO (deterministic preprocessing). Variable-size
         last batch is padded + masked (one compiled shape); all reductions
         accumulate on device and the host fetches a single small dict at
-        the end (no per-batch readbacks — DESIGN.md §2b)."""
+        the end (no per-batch readbacks — DESIGN.md §2b). All eval
+        randomness (binarization + latent draws) is keyed per-image on the
+        global dataset index, so the metrics are invariant to
+        ``--test-batch-size`` and sweep order."""
         bs = min(self.cfg.test_batch_size, self.test_data.n)
+        if self.mesh is not None:
+            # the sharded batch axis must divide evenly over the mesh;
+            # round up and let the pad+mask absorb the difference
+            s = self.mesh.devices.size
+            bs = -(-bs // s) * s
         carry = self._eval_init()
+        key = jax.random.key(0)
         for bi, idx in enumerate(self.test_data.sequential_indices(bs)):
             if max_batches is not None and bi >= max_batches:
                 break
             n_valid = len(idx)
             if n_valid < bs:  # pad to the common shape; masked on device
                 idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
-            batch = self.test_data.gather(jnp.asarray(idx))
+            jidx = jnp.asarray(idx)
+            batch = self.test_data.gather(jidx)
             carry = self._eval_accum(
-                state, batch, jax.random.fold_in(jax.random.key(0), bi),
-                jnp.asarray(n_valid), carry,
+                state, batch, jidx, key, jnp.asarray(n_valid), carry,
             )
         tot = jax.device_get(carry)
         count = max(float(tot["count"]), 1.0)
@@ -181,12 +211,14 @@ class Experiment:
         # reconstructions: first 32 test images, interleaved orig/recon
         eval_step = self._eval_step
         n = min(32, self.test_data.n)
-        idx = np.arange(n)
-        batch = self.test_data.gather(jnp.asarray(idx))
-        out = eval_step(state, batch, jax.random.key(0))
+        idx = jnp.arange(n)
+        batch = self.test_data.gather(idx)
+        out = eval_step(state, batch, jax.random.key(0), idx)
         from lvae_tpu.data.device import eval_preprocess_batch
 
-        orig = np.asarray(eval_preprocess_batch(batch, self.bundle.preprocess))
+        orig = np.asarray(
+            eval_preprocess_batch(batch, self.bundle.preprocess, idx)
+        )
         recon = np.asarray(out["out_mean"])
         pairs = np.stack([orig, recon], axis=1).reshape(-1, *orig.shape[1:])
         g2 = save_image_grid(
@@ -260,10 +292,18 @@ class Trainer:
             state = ckpt.restore(state)
             print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
 
+        k = max(1, cfg.steps_per_call)
+        if k > 1 and cfg.max_steps % k:
+            # both loops check `step >= max_steps` only between k-step
+            # dispatches, so a non-multiple overshoots by up to k-1 steps
+            print(
+                f"warning: max_steps {cfg.max_steps} is not a multiple of "
+                f"steps-per-call {k}; the run will stop at step "
+                f"{-(-cfg.max_steps // k) * k}", flush=True,
+            )
+
         if cfg.streaming:
             return self._run_streaming(state, run_dir, logger, ckpt)
-
-        k = max(1, cfg.steps_per_call)
         if k > 1:
             from lvae_tpu.train.state import make_multi_train_step
 
