@@ -42,6 +42,13 @@ class ExperimentConfig:
     residual_type: str = "bacdbacd"
     merge_layers: str = "residual"
     resample_mode: str = "conv"           # 'conv' | 'interpolate' (lib/nn.py Interpolate)
+    # 'same': flax/XLA SAME padding (asymmetric at stride-2 on even inputs)
+    # 'torch': the reference's symmetric padding=k//2 — for mount-day
+    # weight-compatibility / 0.01-bpd parity (VERDICT round 2 #1)
+    conv_pad: str = "same"
+    # stochastic-skip merge scale: 'pre' (before the TD blocks, cheaper) or
+    # 'post' (after upsampling — SURVEY §3.4's reading of the reference)
+    skip_merge: str = "pre"
     batchnorm: bool = True
     likelihood: Optional[str] = None      # None -> dataset default
     # loss / optimization
@@ -113,6 +120,10 @@ class ExperimentConfig:
             parts.append(f"anneal{self.beta_anneal}")
         if self.learn_top_prior:
             parts.append("ltp")
+        if self.conv_pad != "same":
+            parts.append(f"pad-{self.conv_pad}")
+        if self.skip_merge != "pre":
+            parts.append(f"sm-{self.skip_merge}")
         parts.append(f"seed{self.seed}")
         return ",".join(parts)
 
@@ -161,6 +172,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2x resampling: strided/transposed conv (default) or "
                         "nearest-neighbor interpolation + 1x1 conv "
                         "(the reference's Interpolate wrapper)")
+    p.add_argument("--conv-pad", default=d.conv_pad, choices=["same", "torch"],
+                   help="conv padding convention: flax/XLA SAME or the "
+                        "reference's symmetric torch padding=k//2 "
+                        "(weight-import compatible)")
+    p.add_argument("--skip-merge", default=d.skip_merge, choices=["pre", "post"],
+                   help="stochastic-skip merge scale: before the top-down "
+                        "blocks (pre-upsampling, cheaper) or after "
+                        "(the reference's wiring per SURVEY §3.4)")
     p.add_argument("--no-bn", action="store_true", help="disable batchnorm")
     p.add_argument("--likelihood", default=None,
                    choices=["bernoulli", "gaussian", "discretized_logistic",
@@ -232,6 +251,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         residual_type=args.residual_type,
         merge_layers=args.merge_layers,
         resample_mode=args.resample_mode,
+        conv_pad=args.conv_pad,
+        skip_merge=args.skip_merge,
         batchnorm=not args.no_bn,
         likelihood=args.likelihood,
         freebits=args.freebits,

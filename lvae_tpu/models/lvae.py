@@ -33,6 +33,7 @@ from lvae_tpu.models.blocks import (
     MergeLayer,
     ResBlockWithResampling,
     ResidualBlock,
+    conv_padding,
     get_nonlin,
 )
 from lvae_tpu.models.likelihoods import make_likelihood
@@ -60,6 +61,15 @@ class TopDownLayer(nn.Module):
     learn_top_prior: bool = False
     top_prior_hw: Tuple[int, int] = (4, 4)
     stochastic_skip: bool = False
+    # Where the stochastic-skip bypass merges back in:
+    # 'pre'  — with td_in before the deterministic blocks (pre-upsampling
+    #          scale; cheaper — the merge runs at the coarser resolution).
+    # 'post' — after the deterministic blocks (post-upsampling scale), the
+    #          SURVEY §3.4 reconstruction of the reference's wiring
+    #          ("out = SkipMerger(TD blocks(...), prev_td_state)"); td_in is
+    #          brought to the output scale by parameter-free nearest resize.
+    # Same parameter shapes either way — checkpoints port across modes.
+    skip_merge_mode: str = "pre"
     merge_type: str = "residual"
     block_type: str = "bacdbacd"
     nonlin: str = "elu"
@@ -69,6 +79,7 @@ class TopDownLayer(nn.Module):
     gated: bool = False
     fused: bool = False
     resample_mode: str = "conv"  # 'conv' | 'interpolate' (lib/nn.py Interpolate)
+    conv_pad: str = "same"       # 'same' | 'torch' (symmetric k//2 padding)
     dtype: Optional[Any] = None
     remat: bool = False   # rematerialize residual blocks (memory vs FLOPs)
 
@@ -79,6 +90,7 @@ class TopDownLayer(nn.Module):
             dropout_rate=self.dropout_rate,
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
+            conv_pad=self.conv_pad,
             dtype=self.dtype,
         )
         if not self.is_top:
@@ -94,6 +106,7 @@ class TopDownLayer(nn.Module):
             c_out=self.n_filters,
             transform_p_params=not self.is_top,
             fused=self.fused,
+            conv_pad=self.conv_pad,
             dtype=self.dtype,
         )
         if self.is_top and self.learn_top_prior:
@@ -140,6 +153,7 @@ class TopDownLayer(nn.Module):
         use_mode: bool = False,
         forced_latent: Optional[jnp.ndarray] = None,
         constant_latent: bool = False,
+        temperature: float = 1.0,
     ) -> Tuple[jnp.ndarray, dict[str, Any]]:
         if self.is_top:
             if bu_value is not None:
@@ -166,15 +180,24 @@ class TopDownLayer(nn.Module):
             use_mode=use_mode,
             constant_latent=constant_latent,
             train=train,
+            temperature=temperature,
         )
         h = s["out"]
-        if self.stochastic_skip and td_in is not None:
+        do_skip = self.stochastic_skip and td_in is not None
+        if do_skip and self.skip_merge_mode == "pre":
             # Residual bypass around the latent injection, merged at the
-            # pre-upsampling scale (design choice; reference merges the
-            # upsampled stream — equivalent capability, cheaper here).
+            # pre-upsampling scale (cheaper; see skip_merge_mode above).
             h = self.skip_merge(h, td_in, train)
         for blk in self.det_blocks:
             h = blk(h, train)
+        if do_skip and self.skip_merge_mode == "post":
+            skip = td_in
+            if skip.shape[1] != h.shape[1] or skip.shape[2] != h.shape[2]:
+                skip = jax.image.resize(
+                    skip, (skip.shape[0], h.shape[1], h.shape[2], skip.shape[-1]),
+                    method="nearest",
+                )
+            h = self.skip_merge(h, skip, train)
         return h, s
 
 
@@ -186,6 +209,7 @@ class LadderVAE(nn.Module):
     blocks_per_layer: int = 2
     n_filters: int = 64
     stochastic_skip: bool = False
+    skip_merge_mode: str = "pre"  # 'pre' | 'post' (see TopDownLayer)
     gated: bool = False
     downsample: Sequence[int] = (1, 1, 1)
     learn_top_prior: bool = False
@@ -199,6 +223,7 @@ class LadderVAE(nn.Module):
     res_block_type: str = "bacdbacd"
     merge_type: str = "residual"
     resample_mode: str = "conv"   # 'conv' | 'interpolate' (lib/nn.py Interpolate)
+    conv_pad: str = "same"        # 'same' (flax/XLA) | 'torch' (symmetric k//2)
     no_initial_downscaling: bool = False
     fused: bool = False
     dtype: Optional[Any] = None   # conv compute dtype (None=fp32; bf16 for MXU)
@@ -226,6 +251,7 @@ class LadderVAE(nn.Module):
             dropout_rate=self.dropout_rate,
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
+            conv_pad=self.conv_pad,
             dtype=self.dtype,
         )
         scales = self._scales()
@@ -245,7 +271,8 @@ class LadderVAE(nn.Module):
         )
         stem_stride = (1, 1) if self.no_initial_downscaling else (2, 2)
         self.first_conv = nn.Conv(
-            self.n_filters, (5, 5), strides=stem_stride, dtype=self.dtype
+            self.n_filters, (5, 5), strides=stem_stride,
+            padding=conv_padding(self.conv_pad, 5), dtype=self.dtype,
         )
         self.first_block = ResidualBlock(
             channels=self.n_filters, gated=self.gated, **common
@@ -281,6 +308,7 @@ class LadderVAE(nn.Module):
                     learn_top_prior=self.learn_top_prior,
                     top_prior_hw=(h >> scales[-1], w >> scales[-1]),
                     stochastic_skip=self.stochastic_skip,
+                    skip_merge_mode=self.skip_merge_mode,
                     merge_type=self.merge_type,
                     resample_mode=self.resample_mode,
                     gated=self.gated,
@@ -333,9 +361,11 @@ class LadderVAE(nn.Module):
         forced_latent: Optional[Sequence[Optional[jnp.ndarray]]] = None,
         mode_layers: Sequence[int] = (),
         constant_layers: Sequence[int] = (),
+        temperature: float = 1.0,
     ) -> Tuple[jnp.ndarray, dict[str, Any]]:
         """Top-down pass; the generative path when ``bu_values is None``
-        (reference models/lvae.py topdown_pass — SURVEY.md §3.3)."""
+        (reference models/lvae.py topdown_pass — SURVEY.md §3.3).
+        ``temperature`` scales the sampling std (generation diagnostics)."""
         L = self.n_layers
         if bu_values is None:
             bu_values = [None] * L
@@ -353,6 +383,7 @@ class LadderVAE(nn.Module):
                 use_mode=i in mode_layers,
                 forced_latent=forced_latent[i],
                 constant_latent=i in constant_layers,
+                temperature=temperature,
             )
             layer_data[i] = s
         for blk in self.final_blocks:
@@ -411,6 +442,7 @@ class LadderVAE(nn.Module):
         *,
         mode_layers: Sequence[int] = (),
         constant_layers: Sequence[int] = (),
+        temperature: float = 1.0,
     ) -> dict[str, Any]:
         """Generate from the prior (reference sample_prior, SURVEY.md §3.3)."""
         td, info = self.topdown_pass(
@@ -419,6 +451,7 @@ class LadderVAE(nn.Module):
             n_img_prior=n_img,
             mode_layers=mode_layers,
             constant_layers=constant_layers,
+            temperature=temperature,
         )
         td = crop_img_tensor(td, self.data_size)
         _, lik_data = self.likelihood_head(td, None)

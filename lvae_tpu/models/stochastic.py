@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from lvae_tpu.models.blocks import conv_padding
 from lvae_tpu.ops.stochastic import gaussian_kl, normal_rsample, split_params
 
 
@@ -37,6 +38,7 @@ class NormalStochasticBlock(nn.Module):
     kernel_size: int = 3
     transform_p_params: bool = True  # False at the top layer (params direct)
     fused: bool = False  # use the Pallas fused sample+KL kernel
+    conv_pad: str = "same"  # identical to 'torch' here (stride-1, odd k)
     dtype: Optional[Any] = None      # conv compute dtype; latent math is fp32
 
     @nn.compact
@@ -49,8 +51,10 @@ class NormalStochasticBlock(nn.Module):
         use_mode: bool = False,
         constant_latent: bool = False,
         train: bool = False,
+        temperature: float = 1.0,
     ) -> dict[str, Any]:
         k = (self.kernel_size, self.kernel_size)
+        pad = conv_padding(self.conv_pad, self.kernel_size)
         # Near-zero-init the Gaussian parameter heads (NVAE-style): every
         # layer starts at q ~= p ~= N(0,1), so the initial KL is ~0 and deep
         # ladders don't blow up in the first optimizer steps (observed:
@@ -61,8 +65,8 @@ class NormalStochasticBlock(nn.Module):
         head_init = nn.initializers.normal(1e-2)
         if self.transform_p_params:
             p_params = nn.Conv(
-                2 * self.c_vars, k, name="conv_in_p", dtype=self.dtype,
-                kernel_init=head_init,
+                2 * self.c_vars, k, name="conv_in_p", padding=pad,
+                dtype=self.dtype, kernel_init=head_init,
             )(p_in)
         else:
             if p_in.shape[-1] != 2 * self.c_vars:
@@ -78,8 +82,8 @@ class NormalStochasticBlock(nn.Module):
         q_params = None
         if q_in is not None:
             q_params = nn.Conv(
-                2 * self.c_vars, k, name="conv_in_q", dtype=self.dtype,
-                kernel_init=head_init,
+                2 * self.c_vars, k, name="conv_in_q", padding=pad,
+                dtype=self.dtype, kernel_init=head_init,
             )(q_in).astype(jnp.float32)
 
         sampling_params = q_params if q_params is not None else p_params
@@ -113,7 +117,12 @@ class NormalStochasticBlock(nn.Module):
                 self.make_rng("sample"), mu, log_var, p_mu, p_lv
             )
         else:
-            z = normal_rsample(self.make_rng("sample"), mu, log_var)
+            # temperature != 1 only reaches this branch from the generation
+            # path (prior sampling diagnostics); the fused branches above
+            # require q_params and train=True.
+            z = normal_rsample(
+                self.make_rng("sample"), mu, log_var, temperature
+            )
 
         if q_params is not None and kl_elementwise is None and kl_sample is None:
             p_mu, p_lv = split_params(p_params)
@@ -124,7 +133,9 @@ class NormalStochasticBlock(nn.Module):
             # (reference's constant_layers option, SURVEY.md §3.3).
             z = jnp.broadcast_to(z[:1], z.shape)
 
-        out = nn.Conv(self.c_out, k, name="conv_out", dtype=self.dtype)(z)
+        out = nn.Conv(
+            self.c_out, k, name="conv_out", padding=pad, dtype=self.dtype
+        )(z)
         return {
             "z": z,
             "out": out,

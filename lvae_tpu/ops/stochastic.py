@@ -32,10 +32,17 @@ def split_params(params: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return params[..., :c], params[..., c:]
 
 
-def normal_rsample(key: jax.Array, mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
-    """Reparameterized draw z = mu + sigma * eps, eps ~ N(0,1)."""
+def normal_rsample(
+    key: jax.Array, mu: jnp.ndarray, log_var: jnp.ndarray,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Reparameterized draw z = mu + T * sigma * eps, eps ~ N(0,1).
+
+    ``temperature`` scales the standard deviation (generation-time
+    diagnostic; T=1 is the distribution itself, T=0 degenerates to the
+    mode)."""
     eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
-    return mu + jnp.exp(0.5 * log_var) * eps
+    return mu + temperature * jnp.exp(0.5 * log_var) * eps
 
 
 def logistic_rsample(key: jax.Array, mu: jnp.ndarray, log_scale: jnp.ndarray) -> jnp.ndarray:

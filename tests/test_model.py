@@ -185,6 +185,35 @@ class TestGeneration:
 
         np.testing.assert_allclose(np.asarray(gen(0)), np.asarray(gen(9)))
 
+    def test_temperature_zero_equals_mode(self, x14):
+        # T=0 degenerates every prior draw to its mode, so generation with
+        # temperature=0 must equal mode_layers=(all,)
+        model = tiny_model(learn_top_prior=True)
+        variables, _ = init_and_run(model, x14)
+        a = model.apply(
+            variables, 3, method="sample_prior", temperature=0.0,
+            rngs={"sample": jax.random.key(3)},
+        )["out_mean"]
+        b = model.apply(
+            variables, 3, method="sample_prior", mode_layers=(0, 1),
+            rngs={"sample": jax.random.key(7)},
+        )["out_mean"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_temperature_scales_diversity(self, x14):
+        # batch std of generated images grows with temperature
+        model = tiny_model(learn_top_prior=True)
+        variables, _ = init_and_run(model, x14)
+
+        def spread(t):
+            out = model.apply(
+                variables, 8, method="sample_prior", temperature=t,
+                rngs={"sample": jax.random.key(3)},
+            )["out_mean"]
+            return float(np.std(np.asarray(out), axis=0).mean())
+
+        assert spread(0.1) < spread(2.0)
+
     def test_constant_layers_share_across_batch(self, x14):
         model = tiny_model()
         variables, _ = init_and_run(model, x14)
@@ -251,6 +280,54 @@ class TestTraining:
 
         out = fwd(variables, x14, jax.random.key(1))
         assert np.all(np.isfinite(np.asarray(out["ll"])))
+
+
+class TestConventionSwitches:
+    """--conv-pad torch / --skip-merge post: same shapes and param tree as
+    the defaults (checkpoints port across modes), different arithmetic."""
+
+    def test_torch_conventions_same_shapes_and_params(self, rng):
+        x = jnp.asarray(
+            (rng.uniform(size=(2, 14, 14, 1)) < 0.5).astype(np.float32)
+        )
+        outs, trees = {}, {}
+        for name, kw in {
+            "same-pre": dict(conv_pad="same", skip_merge_mode="pre"),
+            "torch-post": dict(conv_pad="torch", skip_merge_mode="post"),
+        }.items():
+            model = tiny_model(
+                stochastic_skip=True, gated=True, learn_top_prior=True, **kw
+            )
+            variables, out = init_and_run(model, x)
+            outs[name] = out
+            trees[name] = jax.tree_util.tree_map(
+                lambda a: a.shape, variables["params"]
+            )
+        assert trees["same-pre"] == trees["torch-post"]
+        for k in ("ll", "kl_sep"):
+            assert outs["same-pre"][k].shape == outs["torch-post"][k].shape
+        # the conventions are genuinely different programs (same seed,
+        # different alignment -> different numbers)
+        assert not np.allclose(
+            np.asarray(outs["same-pre"]["ll"]),
+            np.asarray(outs["torch-post"]["ll"]),
+        )
+
+    def test_torch_pad_odd_stride1_identical_to_same(self, rng):
+        # for stride-1 odd-k convs the two paddings are the same function:
+        # a no-downsample model must produce IDENTICAL outputs
+        x = jnp.asarray(
+            (rng.uniform(size=(2, 16, 16, 1)) < 0.5).astype(np.float32)
+        )
+        outs = []
+        for pad in ("same", "torch"):
+            model = tiny_model(
+                downsample=(0, 0), no_initial_downscaling=True,
+                img_size=(16, 16), data_size=(16, 16), conv_pad=pad,
+            )
+            _, out = init_and_run(model, x)
+            outs.append(np.asarray(out["ll"]))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=0)
 
 
 class TestBlocks:

@@ -24,12 +24,18 @@ Layout conventions bridged here (see docs/CHECKPOINT_FORMAT.md):
   torch tracks the UNBIASED batch var in running_var while flax tracks
   the biased one — test (iii) reconciles with the n/(n-1) factor.
 
-Known architecture-convention caveat (SURVEY.md [M]-confidence): the
-reference uses torch's symmetric ``padding=k//2`` for its stride-2
-convs, whereas XLA SAME pads (low, high) = (total//2, total - low).
-This mirror reproduces *our* convention so the port is exact; the
-difference is a 1-pixel alignment choice at downsampling boundaries,
-not a capability difference.
+Convention switches (VERDICT round 2 #1 — both sides now support both):
+- ``conv_pad='same'`` (flax/XLA SAME) or ``'torch'`` (the reference's
+  symmetric ``padding=k//2``; transposed convs use literal
+  ``F.conv_transpose2d(padding=k//2, output_padding=1)`` semantics,
+  which lvae_tpu reproduces with a VALID transposed conv sliced
+  ``[k//2 : k//2 + 2H]``).
+- ``skip_merge_mode='pre'`` (merge before the TD blocks) or ``'post'``
+  (after upsampling, skip stream nearest-resized — SURVEY §3.4's
+  reading of the reference wiring).
+The parity battery in tests/test_parity.py runs in BOTH modes, so
+whichever convention the mounted reference turns out to use, matching
+it is a config flip with test coverage already in place.
 """
 
 from __future__ import annotations
@@ -58,15 +64,23 @@ def _same_pad(x: torch.Tensor, k: int, s: int) -> torch.Tensor:
 
 
 class SameConv2d(nn.Module):
-    """Conv2d with flax-SAME padding semantics (weight [out,in,kh,kw])."""
+    """Conv2d with selectable padding semantics (weight [out,in,kh,kw]):
+    flax-SAME (``conv_pad='same'``) or the reference's symmetric
+    ``padding=k//2`` (``'torch'``)."""
 
-    def __init__(self, cin: int, cout: int, k: int, stride: int = 1):
+    def __init__(self, cin: int, cout: int, k: int, stride: int = 1,
+                 conv_pad: str = "same"):
         super().__init__()
         self.weight = nn.Parameter(torch.zeros(cout, cin, k, k))
         self.bias = nn.Parameter(torch.zeros(cout))
-        self.k, self.stride = k, stride
+        self.k, self.stride, self.conv_pad = k, stride, conv_pad
 
     def forward(self, x):
+        if self.conv_pad == "torch":
+            return F.conv2d(
+                x, self.weight, self.bias, stride=self.stride,
+                padding=self.k // 2,
+            )
         return F.conv2d(
             _same_pad(x, self.k, self.stride), self.weight, self.bias,
             stride=self.stride,
@@ -74,18 +88,32 @@ class SameConv2d(nn.Module):
 
 
 class SameConvTranspose2d(nn.Module):
-    """flax ConvTranspose(SAME, s=2): full transposed conv with the
-    spatially flipped kernel, output sliced to the top-left s*H x s*W
-    (weight stored [in,out,kh,kw], flipped at port time)."""
+    """Transposed conv with selectable semantics (weight [in,out,kh,kw],
+    spatially flipped from the flax kernel at port time):
 
-    def __init__(self, cin: int, cout: int, k: int, stride: int = 2):
+    - ``conv_pad='same'``: flax ConvTranspose(SAME, s=2) == full transposed
+      conv sliced to the top-left s*H x s*W (verified exact for k=3, s=2).
+    - ``conv_pad='torch'``: literal torch
+      ``conv_transpose2d(padding=k//2, output_padding=s-1)`` — the
+      reference's ConvTranspose2d exact-2x-upsampling configuration; the
+      flax side reproduces it with a VALID transposed conv sliced
+      ``[k//2 : k//2 + s*H]``.
+    """
+
+    def __init__(self, cin: int, cout: int, k: int, stride: int = 2,
+                 conv_pad: str = "same"):
         super().__init__()
         self.weight = nn.Parameter(torch.zeros(cin, cout, k, k))
         self.bias = nn.Parameter(torch.zeros(cout))
-        self.stride = stride
+        self.k, self.stride, self.conv_pad = k, stride, conv_pad
 
     def forward(self, x):
         h, w = x.shape[-2], x.shape[-1]
+        if self.conv_pad == "torch":
+            return F.conv_transpose2d(
+                x, self.weight, self.bias, stride=self.stride,
+                padding=self.k // 2, output_padding=self.stride - 1,
+            )
         y = F.conv_transpose2d(x, self.weight, self.bias, stride=self.stride)
         return y[:, :, : h * self.stride, : w * self.stride]
 
@@ -108,7 +136,7 @@ class ResidualBlockT(nn.Module):
     def __init__(self, channels: int, block_type: str = "bacdbacd",
                  kernel_size: int = 3, nonlin: str = "elu",
                  dropout_rate: float = 0.0, batchnorm: bool = True,
-                 gated: bool = False):
+                 gated: bool = False, conv_pad: str = "same"):
         super().__init__()
         self.block_type = block_type
         self.nonlin = NONLIN_T[nonlin]
@@ -124,7 +152,8 @@ class ResidualBlockT(nn.Module):
                 nb += 1
             elif ch == "c":
                 setattr(self, f"Conv_{nc}",
-                        SameConv2d(channels, channels, kernel_size))
+                        SameConv2d(channels, channels, kernel_size,
+                                   conv_pad=conv_pad))
                 nc += 1
         if gated:
             self.GateLayer_0 = GateLayerT(channels)
@@ -157,11 +186,15 @@ class ResBlockWithResamplingT(nn.Module):
                  resample: bool = False, **block_kw):
         super().__init__()
         self.resample, self.mode = resample, mode
+        conv_pad = block_kw.get("conv_pad", "same")
         if resample:
             if mode == "bottom-up":
-                self.Conv_0 = SameConv2d(cin, channels, 3, stride=2)
+                self.Conv_0 = SameConv2d(cin, channels, 3, stride=2,
+                                         conv_pad=conv_pad)
             else:
-                self.ConvTranspose_0 = SameConvTranspose2d(cin, channels, 3, 2)
+                self.ConvTranspose_0 = SameConvTranspose2d(
+                    cin, channels, 3, 2, conv_pad=conv_pad
+                )
         elif cin != channels:
             self.Conv_0 = SameConv2d(cin, channels, 1)
         self.ResidualBlock_0 = ResidualBlockT(channels, **block_kw)
@@ -238,12 +271,14 @@ class TopDownLayerT(nn.Module):
                  upsample_steps: int = 0, is_top: bool = False,
                  learn_top_prior: bool = False, top_prior_hw=(4, 4),
                  stochastic_skip: bool = False, merge_type: str = "residual",
-                 gated: bool = False, **block_kw):
+                 gated: bool = False, skip_merge_mode: str = "pre",
+                 **block_kw):
         super().__init__()
         self.is_top, self.z_dim = is_top, z_dim
         self.learn_top_prior = learn_top_prior
         self.top_prior_hw = top_prior_hw
         self.stochastic_skip = stochastic_skip
+        self.skip_merge_mode = skip_merge_mode
         merge_kw = dict(block_kw)
         if not is_top:
             self.merge = MergeLayerT(n_filters, merge_type, **merge_kw)
@@ -280,10 +315,16 @@ class TopDownLayerT(nn.Module):
             q_in = None
         s = self.stochastic(p_in, q_in, eps=eps, forced_z=forced_z)
         h = s["out"]
-        if self.stochastic_skip and td_in is not None:
+        do_skip = self.stochastic_skip and td_in is not None
+        if do_skip and self.skip_merge_mode == "pre":
             h = self.skip_merge(h, td_in)
         for j in range(self.n_res_blocks):
             h = getattr(self, f"det_blocks_{j}")(h)
+        if do_skip and self.skip_merge_mode == "post":
+            skip = td_in
+            if skip.shape[-2:] != h.shape[-2:]:
+                skip = F.interpolate(skip, size=h.shape[-2:], mode="nearest")
+            h = self.skip_merge(h, skip)
         return h, s
 
 
@@ -316,14 +357,16 @@ class LadderVAET(nn.Module):
                  data_size=(14, 14), batchnorm: bool = True,
                  dropout_rate: float = 0.0, nonlin: str = "elu",
                  res_block_type: str = "bacdbacd", merge_type: str = "residual",
-                 no_initial_downscaling: bool = False):
+                 no_initial_downscaling: bool = False, conv_pad: str = "same",
+                 skip_merge_mode: str = "pre"):
         super().__init__()
         self.n_layers = len(z_dims)
         self.img_size, self.data_size = img_size, data_size
         self.no_initial_downscaling = no_initial_downscaling
         self.nonlin = NONLIN_T[nonlin]
         block_kw = dict(block_type=res_block_type, nonlin=nonlin,
-                        dropout_rate=dropout_rate, batchnorm=batchnorm)
+                        dropout_rate=dropout_rate, batchnorm=batchnorm,
+                        conv_pad=conv_pad)
 
         init = 0 if no_initial_downscaling else 1
         scales, s = [], init
@@ -333,7 +376,8 @@ class LadderVAET(nn.Module):
         h, w = img_size
 
         self.first_conv = SameConv2d(
-            color_ch, n_filters, 5, stride=1 if no_initial_downscaling else 2
+            color_ch, n_filters, 5, stride=1 if no_initial_downscaling else 2,
+            conv_pad=conv_pad,
         )
         self.first_block = ResidualBlockT(n_filters, gated=gated, **block_kw)
         for i in range(self.n_layers):
@@ -348,7 +392,7 @@ class LadderVAET(nn.Module):
                 is_top=i == self.n_layers - 1, learn_top_prior=learn_top_prior,
                 top_prior_hw=(h >> scales[-1], w >> scales[-1]),
                 stochastic_skip=stochastic_skip, merge_type=merge_type,
-                gated=gated, **block_kw,
+                gated=gated, skip_merge_mode=skip_merge_mode, **block_kw,
             ))
         self.blocks_per_layer = blocks_per_layer
         nf = 0
