@@ -27,8 +27,24 @@ def parse_args(argv=None):
                    choices=["streaming", "pallas"],
                    help="IW logsumexp implementation (scan accumulator or Pallas kernel)")
     p.add_argument("--test-batch-size", type=int, default=None)
+    p.add_argument("--num-data-shards", type=int, default=None,
+                   help="shard the eval batch over this many devices "
+                        "(default: the run's training value)")
     p.add_argument("--nimages", type=int, default=64, help="prior samples in the grid")
     p.add_argument("--data-dir", default=None, help="override the run's data dir")
+    # generation diagnostics (reference capability, SURVEY.md §3.3:
+    # forcing/fixing latents at chosen layers for qualitative analysis)
+    p.add_argument("--mode-layers", type=int, nargs="*", default=None,
+                   metavar="I",
+                   help="sample the distribution MODE (z = mu) at these "
+                        "layer indices when generating")
+    p.add_argument("--constant-layers", type=int, nargs="*", default=None,
+                   metavar="I",
+                   help="share one latent draw across the whole batch at "
+                        "these layer indices when generating")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="scale the prior sampling std when generating "
+                        "(T<1 sharper, T=0 degenerates to the mode)")
     return p.parse_args(argv)
 
 
@@ -49,6 +65,8 @@ def main(argv=None):
         cfg.test_batch_size = args.test_batch_size
     if args.data_dir:
         cfg.data_dir = args.data_dir
+    if args.num_data_shards is not None:
+        cfg.num_data_shards = args.num_data_shards
 
     exp = Experiment(cfg)
     # data_dep_init=False: the restore below overwrites the params anyway;
@@ -78,6 +96,40 @@ def main(argv=None):
 
     exp.dump_images(state, run_dir, int(state.step), n_samples=args.nimages)
     print(f"wrote sample/recon grids to {os.path.join(run_dir, 'imgs')}")
+
+    if (
+        args.mode_layers is not None
+        or args.constant_layers is not None
+        or args.temperature is not None
+    ):
+        import jax
+
+        from lvae_tpu.eval.viz import save_image_grid
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        mode_layers = tuple(args.mode_layers or ())
+        constant_layers = tuple(args.constant_layers or ())
+        temperature = 1.0 if args.temperature is None else args.temperature
+        samples = exp.model.apply(
+            variables, args.nimages, method="sample_prior",
+            mode_layers=mode_layers, constant_layers=constant_layers,
+            temperature=temperature,
+            rngs={"sample": jax.random.key(int(state.step))},
+        )["out_mean"]
+        tag = []
+        if mode_layers:
+            tag.append("mode" + "-".join(map(str, mode_layers)))
+        if constant_layers:
+            tag.append("const" + "-".join(map(str, constant_layers)))
+        if args.temperature is not None:
+            tag.append(f"T{temperature:g}")
+        path = os.path.join(
+            run_dir, "imgs", f"diag_{'_'.join(tag)}_{int(state.step)}.png"
+        )
+        save_image_grid(np.asarray(samples), path)
+        print(f"wrote generation-diagnostics grid to {path}")
 
 
 if __name__ == "__main__":

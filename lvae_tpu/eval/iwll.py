@@ -50,30 +50,43 @@ def make_iwll_step(
     ``logsumexp_impl``: 'streaming' (online accumulator inside the scan,
     O(B) memory — the default) or 'pallas' (stack the [k, B] elbo matrix
     and reduce it with the fused Pallas kernel — BASELINE.json's
-    "log-sum-exp in Pallas"; at k=100 the matrix is small either way)."""
+    "log-sum-exp in Pallas"; at k=100 the matrix is small either way).
 
-    def iwll_step(state: TrainState, batch_u8: jnp.ndarray, key: jax.Array):
-        x = eval_preprocess_batch(batch_u8, cfg.preprocess)
+    Randomness is keyed per (image, sample): the latent draw for image i,
+    IW sample j uses ``fold_in(fold_in(key, global_index_i), j)`` — both
+    the binarization and the estimator are therefore invariant to
+    ``--test-batch-size`` and to how the sweep is chunked."""
+
+    def iwll_step(state: TrainState, batch_u8: jnp.ndarray,
+                  idx: jnp.ndarray, key: jax.Array):
+        x = eval_preprocess_batch(batch_u8, cfg.preprocess, idx)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        img_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
-        def elbo_of(key_i):
-            out = model.apply(variables, x, train=False, rngs={"sample": key_i})
-            return out["ll"] - out["kl_sep"].sum(axis=0)  # [B]
+        def elbo_of(j):
+            def one(x_i, k_i):
+                out = model.apply(
+                    variables, x_i[None], train=False,
+                    rngs={"sample": jax.random.fold_in(k_i, j)},
+                )
+                return out["ll"][0] - out["kl_sep"][:, 0].sum()
 
-        keys = jax.random.split(key, n_samples)
+            return jax.vmap(one)(x, img_keys)  # [B]
+
+        js = jnp.arange(n_samples)
         if logsumexp_impl == "pallas":
             from lvae_tpu.kernels import pallas_logsumexp
 
-            _, elbos = jax.lax.scan(lambda c, k_: (c, elbo_of(k_)), None, keys)
+            _, elbos = jax.lax.scan(lambda c, j: (c, elbo_of(j)), None, js)
             lse = pallas_logsumexp(elbos)
         else:
-            def body(carry, key_i):
-                return streaming_logsumexp_update(carry, elbo_of(key_i)), None
+            def body(carry, j):
+                return streaming_logsumexp_update(carry, elbo_of(j)), None
 
             carry, _ = jax.lax.scan(
-                body, streaming_logsumexp_init(x.shape[0]), keys
+                body, streaming_logsumexp_init(x.shape[0]), js
             )
             lse = streaming_logsumexp_final(carry)
         return lse - jnp.log(float(n_samples))
@@ -95,9 +108,20 @@ def evaluate_iwll(
 
     cfg = experiment.loss_cfg
     bs = batch_size or min(experiment.cfg.test_batch_size, experiment.test_data.n)
-    step = jax.jit(
-        make_iwll_step(experiment.model, cfg, n_samples, logsumexp_impl)
-    )
+    base = make_iwll_step(experiment.model, cfg, n_samples, logsumexp_impl)
+    mesh = getattr(experiment, "mesh", None)
+    if mesh is not None:
+        # the k=100 IW sweep is the most expensive eval in the framework —
+        # shard the batch (and its index vector) over the data mesh. The
+        # per-(image, sample) keys make the result device-count invariant.
+        from lvae_tpu.parallel import replicated, shard_batch
+
+        rep, sh = replicated(mesh), shard_batch(mesh)
+        bs = -(-bs // mesh.devices.size) * mesh.devices.size
+        step = jax.jit(base, in_shardings=(rep, sh, sh, rep), out_shardings=sh)
+    else:
+        step = jax.jit(base)
+    key = jax.random.key(seed)
     total, count = 0.0, 0
     for bi, idx in enumerate(experiment.test_data.sequential_indices(bs)):
         if max_batches is not None and bi >= max_batches:
@@ -105,8 +129,9 @@ def evaluate_iwll(
         n_valid = len(idx)
         if n_valid < bs:
             idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
-        batch = experiment.test_data.gather(jnp.asarray(idx))
-        ll = step(state, batch, jax.random.fold_in(jax.random.key(seed), bi))
+        jidx = jnp.asarray(idx)
+        batch = experiment.test_data.gather(jidx)
+        ll = step(state, batch, jidx, key)
         total += float(np.asarray(ll)[:n_valid].sum())
         count += n_valid
     mean_ll = total / max(count, 1)

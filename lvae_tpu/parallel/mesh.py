@@ -74,7 +74,8 @@ def make_dp_train_step(
 
 
 def make_dp_eval_step(eval_step, mesh: Mesh, axis_name: str = "data"):
-    """Wrap a (state, batch_u8, key) -> metrics step: batch sharded on data."""
+    """Wrap a (state, batch_u8, key, idx) -> metrics step: the batch and
+    its global-index vector shard on the data axis."""
     rep = replicated(mesh)
     batch = shard_batch(mesh, axis_name)
-    return jax.jit(eval_step, in_shardings=(rep, batch, rep))
+    return jax.jit(eval_step, in_shardings=(rep, batch, rep, batch))

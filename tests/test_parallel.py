@@ -22,7 +22,7 @@ from lvae_tpu.train import (
 )
 
 
-def tiny_exp(**kw):
+def tiny_exp(bundle=None, **kw):
     cfg = dict(
         dataset="synthetic",
         zdims=(4, 4),
@@ -39,7 +39,7 @@ def tiny_exp(**kw):
         dry_run=True,
     )
     cfg.update(kw)
-    return Experiment(ExperimentConfig(**cfg))
+    return Experiment(ExperimentConfig(**cfg), bundle=bundle)
 
 
 class TestMesh:
@@ -116,12 +116,38 @@ class TestDPEvalStep:
         mesh = make_mesh(8)
         estep = make_dp_eval_step(make_eval_step(exp.model, exp.loss_cfg), mesh)
         state = exp.init_state()
+        idx = jax.device_put(jnp.arange(32), shard_batch(mesh))
         batch = jax.device_put(
             exp.test_data.gather(jnp.arange(32)), shard_batch(mesh)
         )
-        out = estep(state, batch, jax.random.key(0))
+        out = estep(state, batch, jax.random.key(0), idx)
         assert out["elbo"].shape == (32,)
         assert np.all(np.isfinite(np.asarray(out["elbo"])))
+
+    def test_sharded_experiment_evaluate_matches_single_device(self):
+        """VERDICT round 2 next-round #5: Experiment.evaluate and
+        evaluate_iwll run sharded when num_data_shards > 1, and the result
+        equals the single-device sweep (masked padding included) because
+        all eval randomness is keyed per-image."""
+        from lvae_tpu.data.registry import DatasetBundle
+        from lvae_tpu.eval.iwll import evaluate_iwll
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, size=(40, 28, 28, 1), dtype=np.uint8)
+        bundle = DatasetBundle(
+            "binmnist_fixture", arr, arr[:37], (28, 28), (32, 32), 1,
+            "binarize", "bernoulli",
+        )
+        e1 = tiny_exp(bundle=bundle, test_batch_size=16)
+        e8 = tiny_exp(bundle=bundle, test_batch_size=16, num_data_shards=8)
+        assert e8.mesh is not None
+        state = e1.init_state()
+        m1, m8 = e1.evaluate(state), e8.evaluate(state)
+        for k in ("ll", "kl", "elbo"):
+            np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, atol=1e-4)
+        a = evaluate_iwll(e1, state, n_samples=2)
+        b = evaluate_iwll(e8, state, n_samples=2)
+        np.testing.assert_allclose(a["iw_ll"], b["iw_ll"], rtol=1e-5, atol=1e-4)
 
 
 class TestShardedCheckpoint:
