@@ -82,10 +82,13 @@ def main(argv=None):
     # b2048 with identical per-image work (RESULTS.md batch sweep).
     p.add_argument("--batch-size", type=int, default=None,
                    help="default: 256 (mnist preset) / 128 (celeba64)")
-    p.add_argument("--preset", default="mnist", choices=["mnist", "celeba64"],
+    p.add_argument("--preset", default="mnist",
+                   choices=["mnist", "celeba64", "cifar10-deep"],
                    help="mnist: the flagship 28x28 Bernoulli config; "
                         "celeba64: 64x64 RGB, 4 stochastic layers, "
-                        "discretized-logistic-mix head (BASELINE config 5)")
+                        "discretized-logistic-mix head (BASELINE config 5); "
+                        "cifar10-deep: 32x32 RGB, 10 stochastic layers, "
+                        "mixture head (BASELINE config 4)")
     p.add_argument("--steps", type=int, default=128,
                    help="timed steps = --steps x --steps-per-call")
     p.add_argument("--warmup", type=int, default=8, help="warmup dispatches")
@@ -179,7 +182,9 @@ def main(argv=None):
     ).compile().cost_analysis() or {}
     flops_per_step = float(ca.get("flops", 0.0))
     flops_per_image = flops_per_step / args.batch_size
+    bytes_per_step = float(ca.get("bytes accessed", 0.0))
     device_kind, peak = device_peak_flops()
+    hbm_bw = device_hbm_bw()
 
     # Pre-build and pre-upload every step's index vector (the training loop
     # generates its indices once per epoch, not per dispatch; re-creating
@@ -229,6 +234,35 @@ def main(argv=None):
             f"{achieved_flops:.3e} FLOP/s exceeds the {device_kind} peak "
             f"{peak:.3e} — execution gating is broken; refusing to report."
         )
+    # Bandwidth cross-check (VERDICT r2 #8): the FLOP roofline only trips
+    # ~33x over reality on this HBM-bound step; the byte roofline catches
+    # sub-peak dispatch artifacts. Caveat making this a graduated check
+    # rather than a hard 1.0x refusal: cost_analysis' 'bytes accessed'
+    # counts every fusion boundary as HBM, but XLA keeps some of those
+    # buffers VMEM-resident between ops (the measured +20% at b256 vs
+    # b2048 is exactly that), so legitimate throughput can exceed the
+    # naive bytes/BW ceiling by a modest factor. 3x cannot be explained
+    # by VMEM reuse at these working-set sizes -> refuse; 1.25x -> warn.
+    if bytes_per_step > 0:
+        byte_ceiling_ips = hbm_bw / (bytes_per_step / args.batch_size)
+        if ips > 3.0 * byte_ceiling_ips:
+            raise SystemExit(
+                f"measured {ips:.0f} img/s is {ips / byte_ceiling_ips:.1f}x "
+                f"the HBM byte ceiling ({byte_ceiling_ips:.0f} img/s from "
+                f"{bytes_per_step / args.batch_size:.3e} B/img at "
+                f"{hbm_bw:.3e} B/s) — no VMEM-residency argument covers "
+                "that; execution gating is broken, refusing to report."
+            )
+        if ips > 1.25 * byte_ceiling_ips:
+            import sys
+            print(
+                f"warning: measured {ips:.0f} img/s exceeds the naive HBM "
+                f"byte ceiling ({byte_ceiling_ips:.0f} img/s) by "
+                f"{ips / byte_ceiling_ips:.2f}x — plausible only via VMEM "
+                "residency between fusions; inspect with "
+                "tools/profile_step.py before trusting.",
+                file=sys.stderr,
+            )
     if not np.isfinite(final_elbo):
         raise SystemExit(f"non-finite elbo {final_elbo} — benchmark invalid")
 
@@ -252,6 +286,7 @@ def main(argv=None):
                 "img32_equivalent_per_sec": round(ips_32, 1),
                 "mfu": round(mfu, 4),
                 "flops_per_image": round(flops_per_image, 1),
+                "bytes_per_image": round(bytes_per_step / args.batch_size, 1),
                 "device": device_kind,
                 "peak_flops": peak,
                 "config": {

@@ -104,8 +104,18 @@ def bench_preset(preset: str, n_train: int):
     presets shared by ``bench.py`` and ``tools/profile_step.py`` — one
     source of truth so the profiled model is always the benchmarked one.
     'mnist' is the flagship 28x28 Bernoulli config; 'celeba64' is BASELINE
-    config 5 (64x64 RGB, 4 stochastic layers, logistic-mixture head)."""
+    config 5 (64x64 RGB, 4 stochastic layers, logistic-mixture head);
+    'cifar10-deep' is BASELINE config 4 (32x32 RGB, 10 stochastic layers
+    at scales 16/8/4/2, logistic-mixture head)."""
     rng = np.random.default_rng(0)
+    if preset == "cifar10-deep":
+        train = rng.integers(0, 256, size=(n_train, 32, 32, 3), dtype=np.uint8)
+        bundle = DatasetBundle(
+            "bench", train, train[:256], (32, 32), (32, 32), 3,
+            PREPROCESS_DEQUANTIZE, "discretized_logistic_mix",
+        )
+        # 10 rungs: three at 16x16, three at 8x8, three at 4x4, one at 2x2
+        return bundle, (32,) * 10, (0, 0, 1, 0, 0, 1, 0, 0, 1, 0)
     if preset == "celeba64":
         train = rng.integers(0, 256, size=(n_train, 64, 64, 3), dtype=np.uint8)
         bundle = DatasetBundle(

@@ -402,6 +402,31 @@ class TestBlocks:
 
 class TestDeepLadder:
     @pytest.mark.slow
+    def test_cifar10_deep_preset_trains(self):
+        """BASELINE config 4 preset (registry.bench_preset 'cifar10-deep'):
+        the 10-rung ladder builds and one train step is finite with every
+        rung's KL present (narrow width here; bench.py runs it full-size)."""
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.data.registry import bench_preset
+        from lvae_tpu.train import Experiment, make_train_step
+
+        bundle, zdims, downsample = bench_preset("cifar10-deep", 64)
+        assert len(zdims) == 10 and len(downsample) == 10
+        cfg = ExperimentConfig(
+            dataset="bench", zdims=zdims, downsample=downsample,
+            blocks_per_layer=1, n_filters=8, batch_size=8, dropout=0.0,
+            skip=True, learn_top_prior=True, freebits=0.5, dry_run=True,
+        )
+        exp = Experiment(cfg, bundle=bundle)
+        assert exp.model.likelihood == "discretized_logistic_mix"
+        state = exp.init_state()
+        step_fn = jax.jit(make_train_step(exp.model, exp.tx, exp.loss_cfg))
+        state, metrics = step_fn(state, exp.train_data.array, jnp.arange(8))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.asarray(metrics["kl_layers"]).shape == (10,)
+        assert np.all(np.isfinite(np.asarray(metrics["kl_layers"])))
+
+    @pytest.mark.slow
     def test_many_layers_mixed_downsample(self, rng):
         # BASELINE config 4 shape: deep ladder, some layers keep resolution
         x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))

@@ -98,7 +98,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=None,
                    help="default: 256 (mnist) / 128 (celeba64)")
-    p.add_argument("--preset", default="mnist", choices=["mnist", "celeba64"])
+    p.add_argument("--preset", default="mnist", choices=["mnist", "celeba64", "cifar10-deep"])
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--fused", default="none", choices=["none", "pallas"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
