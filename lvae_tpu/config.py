@@ -72,7 +72,10 @@ class ExperimentConfig:
     remat: bool = False                   # rematerialize res blocks (fit bigger batches)
     steps_per_call: int = 1               # train steps fused per dispatch (lax.scan)
     streaming: bool = False               # grain host pipeline instead of HBM-resident data
-    fused: str = "none"                   # 'none' | 'pallas'
+    # Pallas kernel selection: 'pallas' = stochastic block + likelihood
+    # head; 'segments' = [dropout->]batchnorm->act inter-conv segments;
+    # 'all' = everything; 'none' = pure XLA (the correctness oracle).
+    fused: str = "none"
     num_data_shards: int = 1              # data-parallel devices
     log_interval: int = 1000
     test_interval: int = 10_000
@@ -200,7 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gives bitwise mesh-size-invariant batches")
     p.add_argument("--precision", default=d.precision, choices=["fp32", "bf16"],
                    help="conv compute dtype; params/KL/likelihood stay fp32")
-    p.add_argument("--fused", default=d.fused, choices=["none", "pallas"])
+    p.add_argument("--fused", default=d.fused,
+                   choices=["none", "pallas", "segments", "all"],
+                   help="Pallas kernels: 'pallas' = stochastic block + "
+                        "mixture head; 'segments' = inter-conv "
+                        "[dropout->]bn->act fusion; 'all' = both")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize residual blocks (memory for FLOPs)")
     p.add_argument("--steps-per-call", type=int, default=d.steps_per_call,

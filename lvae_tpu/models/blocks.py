@@ -126,6 +126,82 @@ def make_dropout(rate: float, impl: str, deterministic: bool):
     raise ValueError(f"unknown dropout_impl {impl!r}; use 'bits8' or 'float'")
 
 
+class FusedBNActSegment(nn.Module):
+    """[dropout ->] batchnorm -> activation as ONE fused unit.
+
+    Its creator names it ``BatchNorm_n``, so the parameter / batch_stats
+    tree paths are IDENTICAL to the plain ``nn.BatchNorm`` the segment
+    replaces — checkpoints interop across ``--fused`` settings. In
+    training mode the whole segment runs as the two-pass Pallas kernel
+    (lvae_tpu.kernels.segment_pallas): the dropout mask is regenerated
+    on-core in every pass (never stored), the batch stats and the full
+    train-BN backward (incl. the stats correction terms) happen in-kernel.
+    Eval mode is a plain fp32 map over the running stats (XLA fuses it).
+
+    Dropout semantics match FastDropout (keep rate quantized to 1/256,
+    exact-expectation rescale); the mask STREAM differs from FastDropout's
+    (jax.random vs the TPU core PRNG) — dropout streams are an
+    implementation detail.
+    """
+
+    channels: int
+    act: str = "elu"
+    dropout_rate: float = 0.0
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.channels,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.channels,))
+        )
+        act = get_nonlin(self.act)
+        if not train:
+            xf = x.astype(jnp.float32)
+            r = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            y = act((xf - ra_mean.value) * r * scale + bias)
+            return y.astype(x.dtype)
+
+        from lvae_tpu.kernels.segment_pallas import (
+            fused_dropout_bn_act,
+            segment_supported,
+        )
+
+        rate = self.dropout_rate
+        key = self.make_rng("dropout") if rate > 0.0 else None
+        if segment_supported(x.shape, x.shape[-1], self.act):
+            y, mean, var = fused_dropout_bn_act(
+                x, scale, bias, key,
+                rate=rate, act=self.act, eps=self.epsilon,
+            )
+        else:
+            # tile-unfriendly shapes: same math in plain XLA
+            u = x.astype(jnp.float32)
+            if rate > 0.0:
+                t = int(round((1.0 - rate) * 256.0))
+                if t <= 0:
+                    u = jnp.zeros_like(u)
+                elif t < 256:
+                    bits = jax.random.bits(key, u.shape, jnp.uint8)
+                    u = jnp.where(bits < jnp.uint8(t), u * (256.0 / t), 0.0)
+            axes = tuple(range(u.ndim - 1))
+            mean = jnp.mean(u, axis=axes)
+            var = jnp.mean(u * u, axis=axes) - mean * mean
+            r = jax.lax.rsqrt(var + self.epsilon)
+            y = act((u - mean) * r * scale + bias).astype(x.dtype)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
 class ResidualBlock(nn.Module):
     """Residual block whose inner ordering is given by ``block_type``.
 
@@ -134,6 +210,11 @@ class ResidualBlock(nn.Module):
     The reference's two documented orderings are ``'bacdbacd'`` and
     ``'cabdcabd'`` (SURVEY.md §2.1 lib/nn.py). With ``gated=True`` a
     GateLayer is applied at the end of the branch before the residual add.
+
+    ``fused_segments=True`` collapses every ``[d] b a`` run into one
+    :class:`FusedBNActSegment` (the round-3 HBM-traffic lever for the
+    full-resolution stage); requires batchnorm, an elu/relu nonlinearity,
+    and bits8 dropout — anything else silently keeps the unfused ops.
     """
 
     channels: int
@@ -145,13 +226,46 @@ class ResidualBlock(nn.Module):
     batchnorm: bool = True
     gated: bool = False
     conv_pad: str = "same"
+    fused_segments: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = get_nonlin(self.nonlin)
+        can_fuse = (
+            self.fused_segments
+            and self.batchnorm
+            and self.nonlin in ("elu", "relu")
+            and self.dropout_impl == "bits8"
+        )
+        chars = self.block_type
         h = x
-        for ch in self.block_type:
+        nb = 0  # explicit BatchNorm numbering shared by both paths
+        i = 0
+        while i < len(chars):
+            ch = chars[i]
+            if can_fuse and (
+                (ch == "b" and i + 1 < len(chars) and chars[i + 1] == "a")
+                or (
+                    ch == "d"
+                    and i + 2 < len(chars)
+                    and chars[i + 1] == "b"
+                    and chars[i + 2] == "a"
+                )
+            ):
+                with_drop = ch == "d"
+                h = FusedBNActSegment(
+                    channels=h.shape[-1],
+                    act=self.nonlin,
+                    dropout_rate=self.dropout_rate if with_drop else 0.0,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name=f"BatchNorm_{nb}",
+                )(h, train)
+                nb += 1
+                i += 3 if with_drop else 2
+                continue
             if ch == "b":
                 if self.batchnorm:
                     h = nn.BatchNorm(
@@ -159,7 +273,9 @@ class ResidualBlock(nn.Module):
                         momentum=0.9,
                         epsilon=1e-5,
                         dtype=self.dtype,
+                        name=f"BatchNorm_{nb}",
                     )(h)
+                    nb += 1
             elif ch == "a":
                 h = act(h)
             elif ch == "c":
@@ -175,6 +291,7 @@ class ResidualBlock(nn.Module):
                     )(h)
             else:
                 raise ValueError(f"unknown block_type char {ch!r} in {self.block_type!r}")
+            i += 1
         if self.gated:
             h = GateLayer(self.channels, dtype=self.dtype)(h)
         return (x + h.astype(x.dtype)).astype(x.dtype)
@@ -206,6 +323,7 @@ class ResBlockWithResampling(nn.Module):
     batchnorm: bool = True
     gated: bool = False
     conv_pad: str = "same"
+    fused_segments: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -264,6 +382,7 @@ class ResBlockWithResampling(nn.Module):
             batchnorm=self.batchnorm,
             gated=self.gated,
             conv_pad=self.conv_pad,
+            fused_segments=self.fused_segments,
             dtype=self.dtype,
         )(x, train)
 
@@ -286,6 +405,7 @@ class MergeLayer(nn.Module):
     dropout_impl: str = "bits8"
     batchnorm: bool = True
     conv_pad: str = "same"
+    fused_segments: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -303,6 +423,7 @@ class MergeLayer(nn.Module):
                 dropout_impl=self.dropout_impl,
                 batchnorm=self.batchnorm,
                 conv_pad=self.conv_pad,
+                fused_segments=self.fused_segments,
                 dtype=self.dtype,
             )(x, train)
         raise ValueError(f"unknown merge_type {self.merge_type!r}")

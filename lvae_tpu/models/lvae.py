@@ -78,6 +78,7 @@ class TopDownLayer(nn.Module):
     batchnorm: bool = True
     gated: bool = False
     fused: bool = False
+    fused_segments: bool = False  # Pallas [d]ba segments (kernels/segment_pallas)
     resample_mode: str = "conv"  # 'conv' | 'interpolate' (lib/nn.py Interpolate)
     conv_pad: str = "same"       # 'same' | 'torch' (symmetric k//2 padding)
     dtype: Optional[Any] = None
@@ -91,6 +92,7 @@ class TopDownLayer(nn.Module):
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
             conv_pad=self.conv_pad,
+            fused_segments=self.fused_segments,
             dtype=self.dtype,
         )
         if not self.is_top:
@@ -226,6 +228,7 @@ class LadderVAE(nn.Module):
     conv_pad: str = "same"        # 'same' (flax/XLA) | 'torch' (symmetric k//2)
     no_initial_downscaling: bool = False
     fused: bool = False
+    fused_segments: bool = False  # fuse [d]ba runs into Pallas segments
     dtype: Optional[Any] = None   # conv compute dtype (None=fp32; bf16 for MXU)
     remat: bool = False           # rematerialize res blocks (memory vs FLOPs)
 
@@ -252,6 +255,7 @@ class LadderVAE(nn.Module):
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
             conv_pad=self.conv_pad,
+            fused_segments=self.fused_segments,
             dtype=self.dtype,
         )
         scales = self._scales()

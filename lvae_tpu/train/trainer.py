@@ -66,7 +66,8 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         resample_mode=cfg.resample_mode,
         conv_pad=cfg.conv_pad,
         no_initial_downscaling=cfg.no_initial_downscaling,
-        fused=cfg.fused == "pallas",
+        fused=cfg.fused in ("pallas", "all"),
+        fused_segments=cfg.fused in ("segments", "all"),
         dtype=dtype,
         remat=cfg.remat,
     )

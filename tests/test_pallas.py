@@ -230,6 +230,210 @@ class TestPallasLogsumexp:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
 
 
+class TestFusedSegment:
+    """Fused [dropout->]bn->act segments vs the plain flax chain.
+
+    The fused ResidualBlock has IDENTICAL parameter / batch_stats tree
+    paths (FusedBNActSegment is named BatchNorm_n), so both variants run
+    from the same variables."""
+
+    def _blocks(self, dropout=0.0, block_type="bacdbacd", nonlin="elu"):
+        from lvae_tpu.models.blocks import ResidualBlock
+
+        kw = dict(
+            channels=8, block_type=block_type, nonlin=nonlin,
+            dropout_rate=dropout, batchnorm=True,
+        )
+        return (ResidualBlock(fused_segments=False, **kw),
+                ResidualBlock(fused_segments=True, **kw))
+
+    def _x(self, rng, c=8):
+        return jnp.asarray(
+            rng.standard_normal((4, 8, 8, c)).astype(np.float32) * 2.0 + 0.3
+        )
+
+    def test_param_paths_identical(self, rng):
+        from flax.traverse_util import flatten_dict
+
+        ref, fus = self._blocks()
+        x = self._x(rng)
+        k = jax.random.key(0)
+        vr = ref.init({"params": k, "dropout": k}, x, train=True)
+        vf = fus.init({"params": k, "dropout": k}, x, train=True)
+        assert (sorted(flatten_dict(vr["params"]).keys())
+                == sorted(flatten_dict(vf["params"]).keys()))
+        assert (sorted(flatten_dict(vr["batch_stats"]).keys())
+                == sorted(flatten_dict(vf["batch_stats"]).keys()))
+
+    def test_forward_and_stats_match_no_dropout(self, rng):
+        ref, fus = self._blocks()
+        x = self._x(rng)
+        k = jax.random.key(0)
+        v = ref.init({"params": k, "dropout": k}, x, train=True)
+        yr, mr = ref.apply(v, x, train=True, mutable=["batch_stats"])
+        yf, mf = fus.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(yf), np.asarray(yr), rtol=1e-5, atol=1e-5
+        )
+        key_of = lambda pv: jax.tree_util.keystr(pv[0])
+        for (pa, va), (pb, vb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(mr["batch_stats"]),
+                   key=key_of),
+            sorted(jax.tree_util.tree_leaves_with_path(mf["batch_stats"]),
+                   key=key_of),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(vb), np.asarray(va), rtol=1e-5, atol=1e-6,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+
+    def test_gradients_match_no_dropout(self, rng):
+        ref, fus = self._blocks()
+        x = self._x(rng)
+        k = jax.random.key(0)
+        v = ref.init({"params": k, "dropout": k}, x, train=True)
+        cot = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+
+        def loss(blk):
+            def f(params, xx):
+                y, _ = blk.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    xx, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(y * cot)
+            return f
+
+        (gr_p, gr_x) = jax.grad(loss(ref), argnums=(0, 1))(v["params"], x)
+        (gf_p, gf_x) = jax.grad(loss(fus), argnums=(0, 1))(v["params"], x)
+        np.testing.assert_allclose(
+            np.asarray(gf_x), np.asarray(gr_x), rtol=1e-4, atol=1e-4
+        )
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(gr_p))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(gf_p):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_r[path]),
+                rtol=1e-4, atol=1e-4, err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_eval_matches(self, rng):
+        ref, fus = self._blocks()
+        x = self._x(rng)
+        k = jax.random.key(0)
+        v = ref.init({"params": k, "dropout": k}, x, train=True)
+        # non-trivial running stats
+        _, m = ref.apply(v, x, train=True, mutable=["batch_stats"])
+        v2 = {"params": v["params"], "batch_stats": m["batch_stats"]}
+        yr = ref.apply(v2, x, train=False)
+        yf = fus.apply(v2, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(yf), np.asarray(yr), rtol=1e-5, atol=1e-5
+        )
+
+    def test_dropout_determinism_and_rate(self, rng):
+        from lvae_tpu.kernels.segment_pallas import fused_dropout_bn_act
+
+        x = jnp.ones((4, 8, 8, 8), jnp.float32)
+        gamma = jnp.ones(8)
+        beta = jnp.zeros(8)
+        key = jax.random.key(7)
+        y1, m1, v1 = fused_dropout_bn_act(
+            x, gamma, beta, key, rate=0.2, act="relu"
+        )
+        y2, m2, v2 = fused_dropout_bn_act(
+            x, gamma, beta, key, rate=0.2, act="relu"
+        )
+        # deterministic: all passes regenerate the same mask
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        # dropped positions of a positive constant input land below the
+        # batch mean -> relu zeros them: zero-fraction ~ realized drop rate
+        frac = float(np.mean(np.asarray(y1) == 0.0))
+        assert abs(frac - 51.0 / 256.0) < 0.05
+        # a different key gives a different mask
+        y3, _, _ = fused_dropout_bn_act(
+            x, gamma, beta, jax.random.key(8), rate=0.2, act="relu"
+        )
+        assert not np.array_equal(np.asarray(y1), np.asarray(y3))
+
+    def test_dropout_gradients_consistent(self, rng):
+        """grad through the fused segment with dropout on: finite, and the
+        dx of dropped positions is exactly zero (mask regeneration in the
+        backward passes matches the forward)."""
+        from lvae_tpu.kernels.segment_pallas import fused_dropout_bn_act
+
+        x = jnp.asarray(rng.standard_normal((4, 8, 8, 8)).astype(np.float32))
+        gamma = jnp.ones(8)
+        beta = jnp.zeros(8)
+        key = jax.random.key(3)
+
+        def f(xx):
+            yy, _, _ = fused_dropout_bn_act(
+                xx, gamma, beta, key, rate=0.3, act="relu"
+            )
+            return jnp.sum(yy * yy)
+
+        g = jax.grad(f)(x)
+        g2 = jax.grad(f)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # the backward passes regenerate the same mask: deterministic
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g2))
+        # dx is EXACTLY zero for dropped elements (dx = du * mask * ms);
+        # kept elements generically get nonzero dx (the BN stats
+        # correction terms feed every kept element), so the exact-zero
+        # fraction ~ the realized drop rate 77/256
+        frac_zero = float(np.mean(np.asarray(g) == 0.0))
+        assert abs(frac_zero - 77.0 / 256.0) < 0.06
+
+    def test_lane_unfriendly_channels_fall_back(self, rng):
+        from lvae_tpu.kernels.segment_pallas import segment_supported
+
+        assert not segment_supported((4, 8, 8, 7), 7, "elu")
+        assert segment_supported((4, 8, 8, 64), 64, "elu")
+        assert not segment_supported((4, 8, 8, 64), 64, "gelu")
+        # the module still works (plain-XLA fallback), matching unfused
+        ref, fus = self._blocks()
+        kw = dict(channels=7, block_type="bacdbacd", nonlin="elu",
+                  dropout_rate=0.0, batchnorm=True)
+        from lvae_tpu.models.blocks import ResidualBlock
+
+        ref = ResidualBlock(fused_segments=False, **kw)
+        fus = ResidualBlock(fused_segments=True, **kw)
+        x = self._x(rng, c=7)
+        k = jax.random.key(0)
+        v = ref.init({"params": k, "dropout": k}, x, train=True)
+        yr, _ = ref.apply(v, x, train=True, mutable=["batch_stats"])
+        yf, _ = fus.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(yf), np.asarray(yr), rtol=1e-5, atol=1e-5
+        )
+
+    def test_whole_model_fused_segments_matches(self, rng):
+        """LadderVAE with fused='segments'-equivalent flag: same params,
+        same ELBO as the unfused model (dropout 0, mode latents)."""
+        from lvae_tpu.models.lvae import LadderVAE
+
+        kw = dict(
+            color_ch=1, z_dims=(4, 4), downsample=(1, 1), blocks_per_layer=1,
+            n_filters=8, img_size=(16, 16), data_size=(14, 14),
+            likelihood="bernoulli", dropout_rate=0.0, batchnorm=True,
+        )
+        x = jnp.asarray(
+            (rng.uniform(size=(4, 14, 14, 1)) < 0.4).astype(np.float32)
+        )
+        ref = LadderVAE(fused_segments=False, **kw)
+        fus = LadderVAE(fused_segments=True, **kw)
+        k = jax.random.key(0)
+        v = ref.init({"params": k, "sample": k, "dropout": k}, x, train=True)
+        outs = []
+        for m in (ref, fus):
+            o, _ = m.apply(
+                v, x, train=True, mutable=["batch_stats"],
+                rngs={"sample": jax.random.key(1), "dropout": jax.random.key(2)},
+            )
+            outs.append(float(jnp.mean(o["ll"] - o["kl_sep"].sum(0))))
+        assert abs(outs[0] - outs[1]) < 1e-3
+
+
 class TestFusedMixtureLogProb:
     """Pallas discretized-logistic-mixture head vs the XLA oracle."""
 
