@@ -206,6 +206,70 @@ def main():
     ok &= check("mixture hand-written VJP matches autodiff", e6 < 1e-2,
                 f"max err {e6:.2e}")
 
+    # --- 6. fused [drop->]bn->act segment on hardware -----------------------
+    # CPU CI injects jax.random mask bits; on the chip the mask comes from
+    # the core PRNG seeded per block — check compile, oracle parity with
+    # dropout off, mask determinism across the four passes, realized rate.
+    from lvae_tpu.kernels.segment_pallas import fused_dropout_bn_act
+
+    xs = jnp.asarray(rng.normal(size=(256, 32, 32, 64)).astype(np.float32))
+    gam = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.2 + 1.0)
+    bet = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+
+    def seg_ref(x, g, b, eps=1e-5):
+        u = x.astype(jnp.float32)
+        mean = jnp.mean(u, axis=(0, 1, 2))
+        var = jnp.mean(u * u, axis=(0, 1, 2)) - mean * mean
+        z = (u - mean) * jax.lax.rsqrt(var + eps) * g + b
+        return jax.nn.elu(z), mean, var
+
+    y_f, m_f, v_f = jax.jit(
+        lambda x: fused_dropout_bn_act(x, gam, bet, None, rate=0.0, act="elu")
+    )(xs)
+    y_r, m_r, v_r = jax.jit(seg_ref)(xs, gam, bet)
+    e7 = float(jnp.abs(y_f - y_r).max())
+    ok &= check("segment fwd matches oracle (no dropout)", e7 < 1e-4,
+                f"max err {e7:.2e}")
+    e8 = max(float(jnp.abs(m_f - m_r).max()), float(jnp.abs(v_f - v_r).max()))
+    ok &= check("segment batch stats match oracle", e8 < 1e-4,
+                f"max err {e8:.2e}")
+
+    def seg_loss(x, g, b):
+        y, _, _ = fused_dropout_bn_act(x, g, b, None, rate=0.0, act="elu")
+        return jnp.sum(y * y)
+
+    def seg_loss_ref(x, g, b):
+        y, _, _ = seg_ref(x, g, b)
+        return jnp.sum(y * y)
+
+    gs_f = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))(xs, gam, bet)
+    gs_r = jax.jit(jax.grad(seg_loss_ref, argnums=(0, 1, 2)))(xs, gam, bet)
+    e9 = max(
+        float(jnp.abs(a - b).max() / jnp.maximum(1.0, jnp.abs(b).max()))
+        for a, b in zip(gs_f, gs_r)
+    )
+    ok &= check("segment VJP (incl. BN stats terms) matches autodiff",
+                e9 < 1e-3, f"max rel err {e9:.2e}")
+
+    key7 = jax.random.key(7)
+    yd1, _, _ = jax.jit(
+        lambda x: fused_dropout_bn_act(x, gam, bet, key7, rate=0.2, act="relu")
+    )(jnp.abs(xs) + 0.5)
+    yd2, _, _ = jax.jit(
+        lambda x: fused_dropout_bn_act(x, gam, bet, key7, rate=0.2, act="relu")
+    )(jnp.abs(xs) + 0.5)
+    ok &= check("segment dropout deterministic across calls",
+                bool(np.array_equal(np.asarray(yd1), np.asarray(yd2))))
+
+    def drop_loss(x):
+        y, _, _ = fused_dropout_bn_act(x, gam, bet, key7, rate=0.2, act="relu")
+        return jnp.sum(y * y)
+
+    gd = jax.jit(jax.grad(drop_loss))(jnp.abs(xs) + 0.5)
+    frac0 = float(np.mean(np.asarray(gd) == 0.0))
+    ok &= check("segment bwd mask matches fwd (zero-dx rate ~ 51/256)",
+                abs(frac0 - 51.0 / 256.0) < 0.01, f"{frac0:.4f}")
+
     print("\nALL OK" if ok else "\nFAILURES", flush=True)
     return 0 if ok else 1
 
