@@ -112,7 +112,10 @@ class ExperimentConfig:
         """boilr-style auto-description string for the run directory name
         (SURVEY.md §2.2 'Run naming — timestamp + hyperparameter args')."""
         z = "-".join(map(str, self.zdims))
-        parts = [self.dataset, f"z{z}", f"f{self.n_filters}", f"b{self.blocks_per_layer}"]
+        # ':' in a dataset name (synthetic size suffix) would be awkward in
+        # a directory name; keep run dirs shell-friendly.
+        parts = [self.dataset.replace(":", ""), f"z{z}", f"f{self.n_filters}",
+                 f"b{self.blocks_per_layer}"]
         if self.skip:
             parts.append("skip")
         if self.gated:

@@ -170,10 +170,19 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
             name, train, test, (hw, hw), (_padded(hw),) * 2, train.shape[-1],
             PREPROCESS_NONE, "bernoulli",
         )
-    if name == "synthetic":
-        train, test = sources.make_synthetic(img=28, channels=1, binary=True)
-        return DatasetBundle(name, train, test, *_META[name])
-    if name == "synthetic_rgb":
-        train, test = sources.make_synthetic(img=32, channels=3, binary=False)
-        return DatasetBundle(name, train, test, *_META[name])
+    base, _, size = name.partition(":")
+    if base in ("synthetic", "synthetic_rgb"):
+        # Optional ':N' suffix sets the train-split size (test = N//4,
+        # capped at 1024), e.g. 'synthetic_rgb:16384' for scale runs that
+        # would overfit the 512-image default. Offline-only fixture names,
+        # so the suffix never collides with a reference dataset spelling.
+        n_train = int(size) if size else 512
+        n_test = min(max(n_train // 4, 128), 1024)
+        train, test = sources.make_synthetic(
+            n_train=n_train, n_test=n_test,
+            img=28 if base == "synthetic" else 32,
+            channels=1 if base == "synthetic" else 3,
+            binary=base == "synthetic",
+        )
+        return DatasetBundle(name, train, test, *_META[base])
     raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS}")

@@ -83,6 +83,16 @@ class TestRegistry:
         assert b.color_ch == 3
         assert b.preprocess == "dequantize"
 
+    def test_synthetic_size_suffix(self):
+        """'name:N' sets the train-split size for the offline fixtures
+        (used by the multi-thousand-step scale runs in RESULTS.md)."""
+        b = load_dataset("synthetic_rgb:2048")
+        assert b.train.shape == (2048, 32, 32, 3)
+        assert 128 <= len(b.test) <= 1024
+        assert b.default_likelihood == "discretized_logistic"
+        again = load_dataset("synthetic_rgb:2048")
+        assert np.array_equal(b.train, again.train)
+
     def test_unknown_dataset(self):
         with pytest.raises(ValueError, match="unknown dataset"):
             load_dataset("nope")
