@@ -1,0 +1,80 @@
+"""Real multi-process execution of the multi-host data-parallel path.
+
+Round-2 VERDICT (#29) flagged that ``jax.process_count() > 1`` had never
+executed anywhere — only mocked unit tests existed. This spawns TWO real
+OS processes, each with 4 virtual CPU devices, connected through
+``jax.distributed`` with gloo collectives over localhost TCP, and runs
+three data-parallel train steps through the exact production recipe in
+``lvae_tpu.parallel.multihost`` (global mesh over all processes,
+replicated state/dataset as global arrays, per-host batch slices via
+``make_global_batch_indices``, XLA-inserted cross-process gradient psum).
+
+No pod exists in this environment; this is the strongest available
+evidence short of one, and it exercises the real distributed runtime —
+process handshake, global-array assembly, cross-process collectives —
+not mocks.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "multiprocess_worker.py",
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line in worker output:\n{out}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+
+    assert {r["pid"] for r in results} == {0, 1}
+    for r in results:
+        assert r["nproc"] == 2
+        assert r["ndev"] == 8
+        assert r["step"] == 3
+    # Both processes ran the SAME global SPMD program: the fully-replicated
+    # metrics must agree bitwise across processes.
+    assert results[0]["elbo"] == results[1]["elbo"]
+    import math
+
+    assert math.isfinite(results[0]["elbo"])

@@ -1,0 +1,119 @@
+"""Worker process for the REAL multi-process data-parallel smoke run.
+
+Spawned pairwise by ``tests/test_multiprocess.py`` (also runnable by hand):
+
+    python tools/multiprocess_worker.py <process_id> <num_processes> <port>
+
+Each process owns 4 virtual CPU devices; ``jax.distributed`` plus gloo CPU
+collectives over localhost TCP make the resulting 2x4-device job a genuine
+multi-process SPMD run on one box — the closest this no-pod environment
+gets to a TPU pod, and the first place ``jax.process_count() > 1``
+actually executes (SURVEY.md §2.5 multi-host story; the reference has no
+distributed support at all). The data flow is exactly the production
+multi-host recipe from ``lvae_tpu.parallel.multihost``:
+
+- ``multihost.initialize`` brings up the distributed runtime,
+- ``multihost.global_mesh`` spans ALL processes' devices,
+- the replicated dataset and train state are assembled as global arrays,
+- ``multihost.make_global_batch_indices`` feeds each process only its
+  host-local slice of the global batch index vector,
+- the jitted train step's gradient psum crosses the process boundary via
+  the gloo collective (on a pod: ICI/DCN, same program).
+
+Prints one ``RESULT {json}`` line the parent test parses; any assertion
+failure or hang fails the spawning test.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    # The axon TPU plugin ignores a shell-level JAX_PLATFORMS override, and
+    # two processes must not share the single tunneled chip anyway; force
+    # the CPU backend before it initializes, and select the gloo
+    # cross-process collective implementation (TCP over localhost).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvae_tpu.config import ExperimentConfig
+    from lvae_tpu.data.registry import load_dataset
+    from lvae_tpu.parallel import make_dp_train_step, multihost
+    from lvae_tpu.parallel.mesh import replicated
+    from lvae_tpu.train import Experiment, make_train_step
+    from lvae_tpu.train.state import create_train_state
+
+    multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.local_devices()) == 4
+
+    batch = 16
+    bundle = load_dataset("synthetic")
+    cfg = ExperimentConfig(
+        dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+        blocks_per_layer=1, n_filters=8, skip=True, gated=True,
+        learn_top_prior=True, batch_size=batch, dropout=0.1, seed=0,
+        rng_impl="threefry", dry_run=True,
+    )
+    exp = Experiment(cfg, bundle=bundle)
+
+    mesh = multihost.global_mesh()
+    rep = replicated(mesh)
+
+    # Identical-by-construction on every process, materialized directly as
+    # globally-replicated arrays by running init as one SPMD program.
+    x0 = jnp.zeros((8, *bundle.data_shape), jnp.float32)
+    state = jax.jit(
+        lambda: create_train_state(
+            exp.model, exp.tx, x0, cfg.seed, len(cfg.zdims),
+            rng_impl=cfg.rng_impl,
+        ),
+        out_shardings=rep,
+    )()
+    data_g = jax.make_array_from_process_local_data(
+        rep, np.asarray(bundle.train)
+    )
+    step = make_dp_train_step(
+        make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+    )
+
+    # Sanity: this process feeds a strict, disjoint slice of the batch.
+    local = multihost.host_local_indices(np.arange(batch))
+    assert len(local) == batch // nproc
+    assert local[0] == pid * (batch // nproc)
+
+    elbo = float("nan")
+    for i in range(3):
+        idx = np.arange(batch) + i * batch
+        idx_g = multihost.make_global_batch_indices(mesh, idx)
+        state, metrics = step(state, data_g, idx_g)
+        elbo = float(jax.device_get(metrics["elbo"]))
+
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "pid": pid,
+                "nproc": jax.process_count(),
+                "ndev": len(jax.devices()),
+                "step": int(jax.device_get(state.step)),
+                "elbo": elbo,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
