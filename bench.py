@@ -94,8 +94,9 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=8, help="warmup dispatches")
     p.add_argument("--n-filters", type=int, default=64)
     p.add_argument("--blocks-per-layer", type=int, default=2)
-    p.add_argument("--fused", default="none",
-                   choices=["none", "pallas", "segments", "all"])
+    p.add_argument("--fused", default="auto",
+                   choices=["auto", "none", "stochastic", "mixture",
+                            "pallas", "segments", "all"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     p.add_argument("--remat", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=8)

@@ -72,10 +72,12 @@ class ExperimentConfig:
     remat: bool = False                   # rematerialize res blocks (fit bigger batches)
     steps_per_call: int = 1               # train steps fused per dispatch (lax.scan)
     streaming: bool = False               # grain host pipeline instead of HBM-resident data
-    # Pallas kernel selection: 'pallas' = stochastic block + likelihood
-    # head; 'segments' = [dropout->]batchnorm->act inter-conv segments;
-    # 'all' = everything; 'none' = pure XLA (the correctness oracle).
-    fused: str = "none"
+    # Pallas kernel policy (resolved per-kernel by train.trainer.resolve_fused):
+    # 'auto' = measured winners only (mixture-head kernel on TPU);
+    # 'stochastic' / 'mixture' / 'segments' = one kernel; 'pallas' =
+    # stochastic+mixture; 'all' = everything; 'none' = pure XLA (the
+    # correctness oracle).
+    fused: str = "auto"
     num_data_shards: int = 1              # data-parallel devices
     log_interval: int = 1000
     test_interval: int = 10_000
@@ -207,10 +209,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default=d.precision, choices=["fp32", "bf16"],
                    help="conv compute dtype; params/KL/likelihood stay fp32")
     p.add_argument("--fused", default=d.fused,
-                   choices=["none", "pallas", "segments", "all"],
-                   help="Pallas kernels: 'pallas' = stochastic block + "
-                        "mixture head; 'segments' = inter-conv "
-                        "[dropout->]bn->act fusion; 'all' = both")
+                   choices=["auto", "none", "stochastic", "mixture",
+                            "pallas", "segments", "all"],
+                   help="Pallas kernel policy: 'auto' (default) enables the "
+                        "measured winners only (the mixture-head kernel on "
+                        "TPU, RESULTS.md round 3); 'stochastic'/'mixture'/"
+                        "'segments' pick one kernel; 'pallas' = stochastic"
+                        "+mixture; 'all' = everything; 'none' = pure XLA")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize residual blocks (memory for FLOPs)")
     p.add_argument("--steps-per-call", type=int, default=d.steps_per_call,

@@ -227,7 +227,10 @@ class LadderVAE(nn.Module):
     resample_mode: str = "conv"   # 'conv' | 'interpolate' (lib/nn.py Interpolate)
     conv_pad: str = "same"        # 'same' (flax/XLA) | 'torch' (symmetric k//2)
     no_initial_downscaling: bool = False
-    fused: bool = False
+    # Per-kernel Pallas switches (resolved from the --fused policy string by
+    # train.trainer.resolve_fused; measured win/tie/loss per RESULTS.md):
+    fused_stochastic: bool = False  # reparam+KL kernel (ties XLA; opt-in)
+    fused_mixture: bool = False     # mixture-head log-prob kernel (wins on TPU)
     fused_segments: bool = False  # fuse [d]ba runs into Pallas segments
     dtype: Optional[Any] = None   # conv compute dtype (None=fp32; bf16 for MXU)
     remat: bool = False           # rematerialize res blocks (memory vs FLOPs)
@@ -316,7 +319,7 @@ class LadderVAE(nn.Module):
                     merge_type=self.merge_type,
                     resample_mode=self.resample_mode,
                     gated=self.gated,
-                    fused=self.fused,
+                    fused=self.fused_stochastic,
                     remat=self.remat,
                     **common,
                 )
@@ -340,7 +343,8 @@ class LadderVAE(nn.Module):
         )
         self.final_blocks = final
         self.likelihood_head = make_likelihood(
-            self.likelihood, self.color_ch, dtype=self.dtype, fused=self.fused
+            self.likelihood, self.color_ch, dtype=self.dtype,
+            fused=self.fused_mixture,
         )
 
     # ------------------------------------------------------------------

@@ -41,6 +41,33 @@ from lvae_tpu.train.state import (
 )
 
 
+def resolve_fused(policy: str, likelihood: str, backend: str) -> dict:
+    """Map the ``--fused`` policy string to per-kernel booleans.
+
+    ``auto`` (the default) enables exactly the kernels that measured an
+    end-to-end win on this backend (RESULTS.md round 3): the native-layout
+    mixture-head kernel (+3.6% img/s, -16% bytes at celeba64-b128) on TPU
+    when the model actually has a mixture head — nothing else. The
+    stochastic kernel ties XLA's fusion at flagship shapes and the
+    [d]ba segment kernel loses 2x, so both stay opt-in. Explicit
+    spellings: ``stochastic`` / ``mixture`` / ``segments`` pick one
+    kernel; ``pallas`` = stochastic+mixture (round-2 spelling, kept for
+    stored run configs); ``all`` = everything.
+    """
+    mixture_head = likelihood == "discretized_logistic_mix"
+    if policy == "auto":
+        return dict(
+            fused_stochastic=False,
+            fused_mixture=mixture_head and backend == "tpu",
+            fused_segments=False,
+        )
+    return dict(
+        fused_stochastic=policy in ("stochastic", "pallas", "all"),
+        fused_mixture=mixture_head and policy in ("mixture", "pallas", "all"),
+        fused_segments=policy in ("segments", "all"),
+    )
+
+
 def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
     """Model factory (reference LVAEExperiment.make_model)."""
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else None
@@ -66,8 +93,11 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         resample_mode=cfg.resample_mode,
         conv_pad=cfg.conv_pad,
         no_initial_downscaling=cfg.no_initial_downscaling,
-        fused=cfg.fused in ("pallas", "all"),
-        fused_segments=cfg.fused in ("segments", "all"),
+        **resolve_fused(
+            cfg.fused,
+            cfg.likelihood or bundle.default_likelihood,
+            jax.default_backend(),
+        ),
         dtype=dtype,
         remat=cfg.remat,
     )

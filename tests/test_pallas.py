@@ -156,7 +156,7 @@ class TestFusedSampleKLReduced:
         kw = dict(
             color_ch=1, z_dims=(4, 4), blocks_per_layer=1, n_filters=8,
             downsample=(1, 1), img_size=(16, 16), data_size=(14, 14),
-            dropout_rate=0.0, fused=True,
+            dropout_rate=0.0, fused_stochastic=True,
         )
         m = LadderVAE(**kw)
         k = jax.random.key(0)
@@ -182,8 +182,8 @@ class TestModelWithFusedFlag:
             dropout_rate=0.0,
         )
         k = jax.random.key(0)
-        m_ref = LadderVAE(fused=False, **kw)
-        m_fused = LadderVAE(fused=True, **kw)
+        m_ref = LadderVAE(fused_stochastic=False, **kw)
+        m_fused = LadderVAE(fused_stochastic=True, **kw)
         v = m_ref.init({"params": k, "sample": k, "dropout": k}, x, train=True)
         out_f = m_fused.apply(v, x, train=False, rngs={"sample": jax.random.key(1)})
         out_r = m_ref.apply(v, x, train=False, rngs={"sample": jax.random.key(1)})

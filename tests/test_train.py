@@ -435,3 +435,55 @@ class TestBF16:
         # params stay fp32
         leaf = jax.tree_util.tree_leaves(v["params"])[0]
         assert leaf.dtype == jnp.float32
+
+
+class TestFusedPolicy:
+    """resolve_fused maps the --fused policy string to per-kernel booleans
+    (auto = measured winners only; RESULTS.md round 3)."""
+
+    def test_auto_enables_mixture_on_tpu_only(self):
+        from lvae_tpu.train.trainer import resolve_fused
+
+        r = resolve_fused("auto", "discretized_logistic_mix", "tpu")
+        assert r == dict(fused_stochastic=False, fused_mixture=True,
+                         fused_segments=False)
+        # CPU (tests, dryruns): everything off
+        r = resolve_fused("auto", "discretized_logistic_mix", "cpu")
+        assert not any(r.values())
+        # no mixture head -> nothing to enable even on TPU
+        r = resolve_fused("auto", "bernoulli", "tpu")
+        assert not any(r.values())
+
+    def test_explicit_spellings(self):
+        from lvae_tpu.train.trainer import resolve_fused
+
+        assert resolve_fused("none", "bernoulli", "tpu") == dict(
+            fused_stochastic=False, fused_mixture=False, fused_segments=False)
+        assert resolve_fused("stochastic", "bernoulli", "cpu")["fused_stochastic"]
+        assert resolve_fused("mixture", "discretized_logistic_mix", "cpu")[
+            "fused_mixture"]
+        # round-2 spelling kept for stored run configs
+        r = resolve_fused("pallas", "discretized_logistic_mix", "cpu")
+        assert r["fused_stochastic"] and r["fused_mixture"]
+        assert not r["fused_segments"]
+        r = resolve_fused("all", "discretized_logistic_mix", "cpu")
+        assert all(r.values())
+        # mixture flag never set without a mixture head (make_likelihood
+        # would ignore it anyway; keep the resolved dict honest)
+        assert not resolve_fused("all", "bernoulli", "tpu")["fused_mixture"]
+
+    def test_default_config_is_auto_and_builds(self):
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.train import Experiment
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, batch_size=16,
+            seed=0, dry_run=True,
+        )
+        assert cfg.fused == "auto"
+        exp = Experiment(cfg)
+        # on the CPU test backend auto resolves to pure XLA
+        assert not exp.model.fused_stochastic
+        assert not exp.model.fused_mixture
+        assert not exp.model.fused_segments
