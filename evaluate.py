@@ -30,6 +30,13 @@ def parse_args(argv=None):
     p.add_argument("--num-data-shards", type=int, default=None,
                    help="shard the eval batch over this many devices "
                         "(default: the run's training value)")
+    p.add_argument("--fused", default=None,
+                   choices=["auto", "none", "stochastic", "mixture",
+                            "pallas", "segments", "all"],
+                   help="override the run's Pallas kernel policy at eval "
+                        "time (checkpoints are layout-identical across "
+                        "policies; e.g. 'auto' speeds the IW sweep of a "
+                        "mixture-head run trained before the policy existed)")
     p.add_argument("--nimages", type=int, default=64, help="prior samples in the grid")
     p.add_argument("--data-dir", default=None, help="override the run's data dir")
     # generation diagnostics (reference capability, SURVEY.md §3.3:
@@ -67,6 +74,8 @@ def main(argv=None):
         cfg.data_dir = args.data_dir
     if args.num_data_shards is not None:
         cfg.num_data_shards = args.num_data_shards
+    if args.fused is not None:
+        cfg.fused = args.fused
 
     exp = Experiment(cfg)
     # data_dep_init=False: the restore below overwrites the params anyway;

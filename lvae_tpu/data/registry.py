@@ -60,6 +60,7 @@ DATASETS = (
     "multi_mnist_binary",
     "synthetic",
     "synthetic_rgb",
+    "synthetic_celeba",
 )
 
 # (img_size, padded_size, color_ch, preprocess, default_likelihood) for the
@@ -78,6 +79,11 @@ _META = {
     "synthetic": ((28, 28), (32, 32), 1, PREPROCESS_NONE, "bernoulli"),
     "synthetic_rgb": ((32, 32), (32, 32), 3, PREPROCESS_DEQUANTIZE,
                       "discretized_logistic"),
+    # CelebA-shaped fixture (BASELINE config 5 offline): 64x64 RGB with the
+    # celeba metadata triple, so `--dataset synthetic_celeba` exercises the
+    # exact model/preprocess/likelihood a real CelebA run would use.
+    "synthetic_celeba": ((64, 64), (64, 64), 3, PREPROCESS_DEQUANTIZE,
+                         "discretized_logistic_mix"),
 }
 
 
@@ -171,7 +177,7 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
             PREPROCESS_NONE, "bernoulli",
         )
     base, _, size = name.partition(":")
-    if base in ("synthetic", "synthetic_rgb"):
+    if base in ("synthetic", "synthetic_rgb", "synthetic_celeba"):
         # Optional ':N' suffix sets the train-split size (test = N//4,
         # capped at 1024), e.g. 'synthetic_rgb:16384' for scale runs that
         # would overfit the 512-image default. Offline-only fixture names,
@@ -180,7 +186,7 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
         n_test = min(max(n_train // 4, 128), 1024)
         train, test = sources.make_synthetic(
             n_train=n_train, n_test=n_test,
-            img=28 if base == "synthetic" else 32,
+            img=_META[base][0][0],
             channels=1 if base == "synthetic" else 3,
             binary=base == "synthetic",
         )

@@ -93,6 +93,15 @@ class TestRegistry:
         again = load_dataset("synthetic_rgb:2048")
         assert np.array_equal(b.train, again.train)
 
+    def test_synthetic_celeba_bundle(self):
+        """64x64 RGB fixture with the exact celeba metadata triple, so the
+        BASELINE config-5 model/preprocess/likelihood runs offline."""
+        b = load_dataset("synthetic_celeba:1024")
+        assert b.train.shape == (1024, 64, 64, 3)
+        assert b.img_size == b.padded_size == (64, 64)
+        assert b.preprocess == "dequantize"
+        assert b.default_likelihood == "discretized_logistic_mix"
+
     def test_unknown_dataset(self):
         with pytest.raises(ValueError, match="unknown dataset"):
             load_dataset("nope")

@@ -205,6 +205,7 @@ class TestEvaluateCLI:
         assert "IW log-likelihood" in out
         assert "kl/layer_1" in out
         assert (tmp_path / "r" / "imgs").exists()
+        elbo_line = [l for l in out.splitlines() if "test elbo" in l]
 
         # generation diagnostics (reference SURVEY.md §3.3): mode /
         # constant layers + prior temperature from the CLI
@@ -219,6 +220,13 @@ class TestEvaluateCLI:
         assert len(diag) == 1
         assert "mode1" in diag[0].name and "const0" in diag[0].name
         assert "T0.7" in diag[0].name
+
+        # eval-time kernel-policy override: metrics identical to the
+        # stored policy (checkpoints are layout-identical across policies)
+        evaluate.main(["--load", str(tmp_path / "r"), "--fused", "none"])
+        out2 = capsys.readouterr().out
+        line2 = [l for l in out2.splitlines() if "test elbo" in l]
+        assert line2 == elbo_line
 
 
 class TestIWLLPallasImpl:

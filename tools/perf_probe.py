@@ -136,7 +136,7 @@ def main():
         ("no dropout + no bn", dict(dropout=0.0, batchnorm=False)),
         ("no gate", dict(gated=False)),
         ("remat", dict(remat=True)),
-        ("fused pallas stochastic", dict(fused="pallas")),
+        ("fused pallas stochastic", dict(fused="stochastic")),
     ]:
         e2 = make_exp(args, **kw)
         s2 = jax.jit(make_train_step(e2.model, e2.tx, e2.loss_cfg))
