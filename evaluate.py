@@ -100,7 +100,9 @@ def main(argv=None):
         print(
             f"IW log-likelihood ({iw['n_samples']} samples, "
             f"{iw['n_images']} images): {iw['iw_ll']:.2f} nats  "
-            f"bpd {iw['iw_bpd']:.4f}", flush=True,
+            f"bpd {iw['iw_bpd']:.4f}  "
+            f"[{iw['wall_s']:.1f}s incl. compile, "
+            f"{iw['images_per_sec']:.1f} img/s]", flush=True,
         )
 
     exp.dump_images(state, run_dir, int(state.step), n_samples=args.nimages)

@@ -14,6 +14,7 @@ never materialized either.
 
 from __future__ import annotations
 
+import time
 from typing import Callable
 
 import jax
@@ -123,6 +124,7 @@ def evaluate_iwll(
         step = jax.jit(base)
     key = jax.random.key(seed)
     total, count = 0.0, 0
+    t0 = time.perf_counter()
     for bi, idx in enumerate(experiment.test_data.sequential_indices(bs)):
         if max_batches is not None and bi >= max_batches:
             break
@@ -134,10 +136,16 @@ def evaluate_iwll(
         ll = step(state, batch, jidx, key)
         total += float(np.asarray(ll)[:n_valid].sum())
         count += n_valid
+    # wall includes every value readback (`float(...)` per batch), so this
+    # is execution-gated throughput even through the axon tunnel — the same
+    # timing rule as bench.py (DESIGN.md §2b). First-batch compile included.
+    wall = time.perf_counter() - t0
     mean_ll = total / max(count, 1)
     return {
         "iw_ll": mean_ll,
         "iw_bpd": -mean_ll / (cfg.data_dims * np.log(2.0)),
         "n_samples": n_samples,
         "n_images": count,
+        "wall_s": wall,
+        "images_per_sec": count / wall if wall > 0 else float("nan"),
     }
