@@ -182,7 +182,17 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
         # capped at 1024), e.g. 'synthetic_rgb:16384' for scale runs that
         # would overfit the 512-image default. Offline-only fixture names,
         # so the suffix never collides with a reference dataset spelling.
-        n_train = int(size) if size else 512
+        if size:
+            try:
+                n_train = int(size)
+            except ValueError:
+                raise ValueError(
+                    f"bad size suffix {size!r} in {name!r}: the synthetic "
+                    "fixtures take 'name:N' with integer N train images, "
+                    "e.g. 'synthetic_rgb:16384'"
+                ) from None
+        else:
+            n_train = 512
         n_test = min(max(n_train // 4, 128), 1024)
         train, test = sources.make_synthetic(
             n_train=n_train, n_test=n_test,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from lvae_tpu.data.device import eval_preprocess_batch
-from lvae_tpu.train.state import LossConfig, TrainState
+from lvae_tpu.train.state import LossConfig, TrainState, per_image_forward
 
 
 def streaming_logsumexp_init(batch: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -67,14 +67,9 @@ def make_iwll_step(
         img_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
         def elbo_of(j):
-            def one(x_i, k_i):
-                out = model.apply(
-                    variables, x_i[None], train=False,
-                    rngs={"sample": jax.random.fold_in(k_i, j)},
-                )
-                return out["ll"][0] - out["kl_sep"][:, 0].sum()
-
-            return jax.vmap(one)(x, img_keys)  # [B]
+            keys_j = jax.vmap(lambda k_i: jax.random.fold_in(k_i, j))(img_keys)
+            ll, kl_sep = per_image_forward(model, variables, x, keys_j)
+            return ll - kl_sep.sum(axis=0)     # [B]
 
         js = jnp.arange(n_samples)
         if logsumexp_impl == "pallas":

@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lvae_tpu.ops.math import bits8_keep_threshold
 from lvae_tpu.kernels.stochastic_pallas import (
     _GOLDEN32,
     _div_cap,
@@ -393,7 +394,7 @@ def fused_dropout_bn_act(
     ``rate`` uses FastDropout's uint8-threshold semantics (realized keep
     rate quantized to 1/256, exact-expectation rescale); ``rate=0`` (or a
     rate below the 8-bit resolution) skips the mask entirely."""
-    t = 256 if rate <= 0.0 else int(round((1.0 - rate) * 256.0))
+    t = bits8_keep_threshold(rate)
     if t <= 0:
         # degenerate rate ~ 1.0: everything dropped; u == 0 everywhere
         zeros = jnp.zeros(x.shape[-1], jnp.float32)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from lvae_tpu.ops.math import bits8_dropout_f32, bits8_keep_threshold
+
 # compute dtype: None -> fp32. With bf16, convs/batchnorm run on the MXU in
 # bf16 while params (and the ELBO math in ops/) stay fp32 (SURVEY.md §2.5
 # "bf16 compute / fp32 params+KL accumulation").
@@ -104,14 +106,15 @@ class FastDropout(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if deterministic or self.rate == 0.0:
             return x
-        t = int(round((1.0 - self.rate) * 256.0))
+        t = bits8_keep_threshold(self.rate)
         if t >= 256:  # rate below the 8-bit resolution: keep everything
             return x
         if t <= 0:  # rate ~ 1.0: drop everything (nn.Dropout semantics)
             return jnp.zeros_like(x)
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
-        scaled = (x.astype(jnp.float32) * jnp.float32(256.0 / t)).astype(x.dtype)
-        return jnp.where(bits < jnp.uint8(t), scaled, jnp.zeros((), x.dtype))
+        u = bits8_dropout_f32(
+            x.astype(jnp.float32), self.make_rng("dropout"), t
+        )
+        return u.astype(x.dtype)
 
 
 def make_dropout(rate: float, impl: str, deterministic: bool):
@@ -144,12 +147,14 @@ class FusedBNActSegment(nn.Module):
     implementation detail.
     """
 
+    # No compute-dtype knob on purpose: the segment (kernel and fallback
+    # alike) always normalizes in fp32 and casts back to x.dtype, unlike
+    # nn.BatchNorm(dtype=...) — BN statistics stay fp32 in bf16 runs.
     channels: int
     act: str = "elu"
     dropout_rate: float = 0.0
     momentum: float = 0.9
     epsilon: float = 1e-5
-    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -184,12 +189,11 @@ class FusedBNActSegment(nn.Module):
             # tile-unfriendly shapes: same math in plain XLA
             u = x.astype(jnp.float32)
             if rate > 0.0:
-                t = int(round((1.0 - rate) * 256.0))
+                t = bits8_keep_threshold(rate)
                 if t <= 0:
                     u = jnp.zeros_like(u)
                 elif t < 256:
-                    bits = jax.random.bits(key, u.shape, jnp.uint8)
-                    u = jnp.where(bits < jnp.uint8(t), u * (256.0 / t), 0.0)
+                    u = bits8_dropout_f32(u, key, t)
             axes = tuple(range(u.ndim - 1))
             mean = jnp.mean(u, axis=axes)
             var = jnp.mean(u * u, axis=axes) - mean * mean
@@ -260,7 +264,6 @@ class ResidualBlock(nn.Module):
                     dropout_rate=self.dropout_rate if with_drop else 0.0,
                     momentum=0.9,
                     epsilon=1e-5,
-                    dtype=self.dtype,
                     name=f"BatchNorm_{nb}",
                 )(h, train)
                 nb += 1

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -83,3 +84,30 @@ def free_bits_kl(kl_per_layer: jnp.ndarray, free_bits: float) -> jnp.ndarray:
     if free_bits <= 0.0:
         return mean_per_layer
     return jnp.maximum(mean_per_layer, free_bits)
+
+
+def bits8_keep_threshold(rate: float) -> int:
+    """Integer keep threshold for uint8-bits dropout.
+
+    An element is kept iff its random byte ``< t``, so the realized keep
+    probability is ``t/256`` — the requested ``1-rate`` quantized to 1/256
+    (|error| <= 1/512). ``t >= 256`` means keep everything, ``t <= 0`` drop
+    everything. Single source of truth for the quantization rule shared by
+    ``models.blocks.FastDropout``, the fused-segment XLA fallback, and the
+    Pallas segment kernel (``kernels.segment_pallas``).
+    """
+    if rate <= 0.0:
+        return 256
+    return int(round((1.0 - rate) * 256.0))
+
+
+def bits8_dropout_f32(u: jnp.ndarray, key, t: int) -> jnp.ndarray:
+    """fp32 uint8-bits dropout at threshold ``t`` (0 < t < 256).
+
+    Masks with ``jax.random`` bytes and rescales survivors by the realized
+    keep probability (``256/t``, exact expectation — see
+    :func:`bits8_keep_threshold`). Caller handles the ``t <= 0`` /
+    ``t >= 256`` degenerate cases and any dtype casts.
+    """
+    bits = jax.random.bits(key, u.shape, jnp.uint8)
+    return jnp.where(bits < jnp.uint8(t), u * jnp.float32(256.0 / t), 0.0)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Any, Optional
 
@@ -97,8 +98,15 @@ class CheckpointManager:
         # default changed.
         try:
             stored = tuple(self._mngr.item_metadata(step).tree["rng_data"].shape)
-        except Exception:
-            stored = None  # metadata layout unknown: restore as requested
+        except (AttributeError, KeyError, TypeError) as e:
+            # orbax's metadata accessor is version-specific (works on the
+            # pinned 0.11.x); if its shape ever changes, keep restoring but
+            # say the migration is off rather than failing silently
+            logging.warning(
+                "checkpoint metadata unreadable (%s) — rng-impl migration "
+                "disabled for this restore", e,
+            )
+            stored = None
         if stored is not None and stored != tuple(tmpl_tree["rng_data"].shape):
             impl = "rbg" if stored[-1] == 4 else "threefry2x32"
             tmpl_tree["rng_data"] = jax.random.key_data(

@@ -250,18 +250,27 @@ def make_per_image_eval(model, cfg: LossConfig):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-
-        def one(x_i, i):
-            out = model.apply(
-                variables, x_i[None], train=False,
-                rngs={"sample": jax.random.fold_in(key, i)},
-            )
-            return out["ll"][0], out["kl_sep"][:, 0]
-
-        ll, kl_sep = jax.vmap(one)(x, idx)      # [B], [B, L]
-        return ll, kl_sep.T                     # [B], [L, B]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+        return per_image_forward(model, variables, x, keys)
 
     return per_image
+
+
+def per_image_forward(model, variables, x, keys):
+    """vmapped single-image eval forward: image ``i`` draws its latents
+    from ``keys[i]``. The ONE copy of the per-image apply that both the
+    test-ELBO path (:func:`make_per_image_eval`) and the IW-LL estimator
+    (``eval.iwll``) build on — the batching-invariance tests pin its
+    keying contract. Returns ``(ll [B], kl_sep [L, B])``."""
+
+    def one(x_i, k_i):
+        out = model.apply(
+            variables, x_i[None], train=False, rngs={"sample": k_i}
+        )
+        return out["ll"][0], out["kl_sep"][:, 0]
+
+    ll, kl_sep = jax.vmap(one)(x, keys)         # [B], [B, L]
+    return ll, kl_sep.T                         # [B], [L, B]
 
 
 def make_eval_accum_step(model, cfg: LossConfig, n_layers: int):

@@ -343,16 +343,17 @@ class Trainer:
             base_step = make_train_step(exp.model, exp.tx, exp.loss_cfg)
 
         if cfg.num_data_shards > 1:
-            from lvae_tpu.parallel import make_dp_train_step, make_mesh
+            from lvae_tpu.parallel import make_dp_train_step
 
             if cfg.batch_size % cfg.num_data_shards:
                 raise ValueError(
                     f"batch_size {cfg.batch_size} not divisible by "
                     f"num_data_shards {cfg.num_data_shards}"
                 )
-            mesh = make_mesh(cfg.num_data_shards)
+            # the one mesh Experiment.__init__ built — train and eval must
+            # never construct meshes independently or they could diverge
             train_step = make_dp_train_step(
-                base_step, mesh, idx_batch_axis=1 if k > 1 else 0
+                base_step, exp.mesh, idx_batch_axis=1 if k > 1 else 0
             )
         else:
             train_step = jax.jit(base_step, donate_argnums=(0,))
@@ -505,11 +506,8 @@ class Trainer:
                 "are synchronized across hosts"
             )
         if cfg.num_data_shards > 1:
-            from lvae_tpu.parallel import make_mesh
-
-            mesh = make_mesh(cfg.num_data_shards)
             step_fn, put = make_sharded_streaming_step(
-                exp.model, exp.tx, exp.loss_cfg, mesh, steps_per_call=k
+                exp.model, exp.tx, exp.loss_cfg, exp.mesh, steps_per_call=k
             )
         else:
             step_fn = jax.jit(

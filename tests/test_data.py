@@ -333,3 +333,36 @@ class TestStreaming:
         state = Trainer(Experiment(cfg)).run()
         assert int(state.step) == 6
         assert np.isfinite(float(jax.device_get(state.ema["elbo"])))
+
+
+class TestFixtureGenerator:
+    """tools/make_fixtures.py writes synthetic stand-ins in the exact
+    on-disk formats of every file-backed dataset; every registry name
+    must then load through its real parser (incl. the C++ .amat path)."""
+
+    def test_all_file_backed_datasets_load(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tools")
+        try:
+            import make_fixtures
+        finally:
+            sys.path.pop(0)
+        make_fixtures.main(["--data-dir", str(tmp_path), "--n", "128"])
+
+        expect = {
+            "static_mnist": ((28, 28), 1, "none", "bernoulli"),
+            "mnist": ((28, 28), 1, "binarize", "bernoulli"),
+            "cifar10": ((32, 32), 3, "dequantize", "discretized_logistic_mix"),
+            "svhn": ((32, 32), 3, "dequantize", "discretized_logistic"),
+            "celeba": ((64, 64), 3, "dequantize", "discretized_logistic_mix"),
+            "multi_dsprites_binary_rgb": ((64, 64), 3, "none", "bernoulli"),
+            "multi_mnist_binary": ((48, 48), 1, "none", "bernoulli"),
+        }
+        for name, (img, ch, pre, lik) in expect.items():
+            b = load_dataset(name, data_dir=str(tmp_path))
+            assert b.img_size == img, name
+            assert b.color_ch == ch, name
+            assert b.preprocess == pre, name
+            assert b.default_likelihood == lik, name
+            assert b.train.dtype == np.uint8 and len(b.train) > 0, name
+            assert len(b.test) > 0, name

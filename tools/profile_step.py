@@ -100,7 +100,11 @@ def main():
                    help="default: 256 (mnist) / 128 (celeba64)")
     p.add_argument("--preset", default="mnist", choices=["mnist", "celeba64", "cifar10-deep"])
     p.add_argument("--steps", type=int, default=6)
-    p.add_argument("--fused", default="none", choices=["none", "pallas"])
+    # same policy strings and default as bench.py, so the profiled program
+    # is always the benchmarked one (registry.bench_preset contract)
+    p.add_argument("--fused", default="auto",
+                   choices=["auto", "none", "stochastic", "mixture",
+                            "pallas", "segments", "all"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     p.add_argument("--rng-impl", default="rbg", choices=["rbg", "threefry"])
     p.add_argument("--dropout", type=float, default=0.2)
