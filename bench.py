@@ -98,6 +98,10 @@ def main(argv=None):
                    choices=["auto", "none", "stochastic", "mixture",
                             "pallas", "segments", "all"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    # torch-convention switches (docs/CHECKPOINT_FORMAT.md): measure the
+    # parity modes' throughput so mount-day numbers are known in advance
+    p.add_argument("--conv-pad", default="same", choices=["same", "torch"])
+    p.add_argument("--skip-merge", default="pre", choices=["pre", "post"])
     p.add_argument("--remat", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=8)
     p.add_argument("--smoke", action="store_true")
@@ -148,6 +152,8 @@ def main(argv=None):
         seed=0,
         fused=args.fused,
         precision=args.precision,
+        conv_pad=args.conv_pad,
+        skip_merge=args.skip_merge,
         remat=args.remat,
         dry_run=True,
     )
@@ -298,6 +304,8 @@ def main(argv=None):
                     "timed_steps": args.steps * spc,
                     "precision": args.precision,
                     "fused": args.fused,
+                    "conv_pad": args.conv_pad,
+                    "skip_merge": args.skip_merge,
                     "remat": args.remat,
                 },
             }
