@@ -487,3 +487,31 @@ class TestFusedPolicy:
         assert not exp.model.fused_stochastic
         assert not exp.model.fused_mixture
         assert not exp.model.fused_segments
+
+    def test_cli_choices_stay_in_sync(self):
+        """The --fused policy strings accepted by main.py, bench.py and
+        evaluate.py must all resolve without error — guards against a
+        policy being added to one argparse surface but not the resolver."""
+        import re
+
+        from lvae_tpu.train.trainer import resolve_fused
+
+        surfaces = {}
+        for path in ("lvae_tpu/config.py", "bench.py", "evaluate.py"):
+            with open(path) as f:
+                src = f.read()
+            m = re.search(
+                r"--fused\"[^)]*?choices=\[([^\]]*)\]", src, re.S
+            )
+            assert m, f"no --fused choices found in {path}"
+            surfaces[path] = set(re.findall(r"\"(\w+)\"", m.group(1)))
+        # all surfaces offer the same policy set (evaluate adds None default
+        # but same choice strings)
+        sets = list(surfaces.values())
+        assert sets[0] == sets[1] == sets[2], surfaces
+        for policy in sets[0]:
+            for lik in ("bernoulli", "discretized_logistic_mix"):
+                r = resolve_fused(policy, lik, "tpu")
+                assert set(r) == {
+                    "fused_stochastic", "fused_mixture", "fused_segments"
+                }
