@@ -49,9 +49,12 @@ def parse_args(argv=None):
                    metavar="I",
                    help="share one latent draw across the whole batch at "
                         "these layer indices when generating")
-    p.add_argument("--temperature", type=float, default=None,
+    p.add_argument("--temperature", type=float, nargs="+", default=None,
+                   metavar="T",
                    help="scale the prior sampling std when generating "
-                        "(T<1 sharper, T=0 degenerates to the mode)")
+                        "(T<1 sharper, T=0 degenerates to the mode); one "
+                        "value for all layers or one per stochastic layer "
+                        "(bottom first)")
     return p.parse_args(argv)
 
 
@@ -122,7 +125,12 @@ def main(argv=None):
             variables["batch_stats"] = state.batch_stats
         mode_layers = tuple(args.mode_layers or ())
         constant_layers = tuple(args.constant_layers or ())
-        temperature = 1.0 if args.temperature is None else args.temperature
+        if args.temperature is None:
+            temperature = 1.0
+        elif len(args.temperature) == 1:
+            temperature = args.temperature[0]
+        else:
+            temperature = tuple(args.temperature)
         samples = exp.model.apply(
             variables, args.nimages, method="sample_prior",
             mode_layers=mode_layers, constant_layers=constant_layers,
@@ -135,7 +143,8 @@ def main(argv=None):
         if constant_layers:
             tag.append("const" + "-".join(map(str, constant_layers)))
         if args.temperature is not None:
-            tag.append(f"T{temperature:g}")
+            ts = temperature if isinstance(temperature, tuple) else (temperature,)
+            tag.append("T" + "-".join(f"{t:g}" for t in ts))
         path = os.path.join(
             run_dir, "imgs", f"diag_{'_'.join(tag)}_{int(state.step)}.png"
         )

@@ -23,7 +23,7 @@ Functional design notes (vs the reference's stateful torch modules):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -369,16 +369,26 @@ class LadderVAE(nn.Module):
         forced_latent: Optional[Sequence[Optional[jnp.ndarray]]] = None,
         mode_layers: Sequence[int] = (),
         constant_layers: Sequence[int] = (),
-        temperature: float = 1.0,
+        temperature: Union[float, Sequence[float]] = 1.0,
     ) -> Tuple[jnp.ndarray, dict[str, Any]]:
         """Top-down pass; the generative path when ``bu_values is None``
         (reference models/lvae.py topdown_pass — SURVEY.md §3.3).
-        ``temperature`` scales the sampling std (generation diagnostics)."""
+        ``temperature`` scales the sampling std (generation diagnostics) —
+        a scalar for all layers or one value per layer (layer 0 = bottom);
+        T=0 at a layer degenerates to its mode, like ``mode_layers``."""
         L = self.n_layers
         if bu_values is None:
             bu_values = [None] * L
         if forced_latent is None:
             forced_latent = [None] * L
+        if isinstance(temperature, (int, float)):
+            temps = [float(temperature)] * L
+        else:
+            temps = [float(t) for t in temperature]
+            if len(temps) != L:
+                raise ValueError(
+                    f"temperature needs 1 or {L} values, got {len(temps)}"
+                )
 
         td = None
         layer_data: list[dict[str, Any]] = [None] * L  # type: ignore[list-item]
@@ -391,7 +401,7 @@ class LadderVAE(nn.Module):
                 use_mode=i in mode_layers,
                 forced_latent=forced_latent[i],
                 constant_latent=i in constant_layers,
-                temperature=temperature,
+                temperature=temps[i],
             )
             layer_data[i] = s
         for blk in self.final_blocks:
@@ -450,9 +460,10 @@ class LadderVAE(nn.Module):
         *,
         mode_layers: Sequence[int] = (),
         constant_layers: Sequence[int] = (),
-        temperature: float = 1.0,
+        temperature: Union[float, Sequence[float]] = 1.0,
     ) -> dict[str, Any]:
-        """Generate from the prior (reference sample_prior, SURVEY.md §3.3)."""
+        """Generate from the prior (reference sample_prior, SURVEY.md §3.3).
+        ``temperature`` may be per-layer (see :meth:`topdown_pass`)."""
         td, info = self.topdown_pass(
             None,
             train=False,

@@ -200,6 +200,27 @@ class TestGeneration:
         )["out_mean"]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_per_layer_temperature(self, x14):
+        # a per-layer temperature list applies layer-wise: T=0 everywhere
+        # except layer i must equal mode_layers=(all but i); and a scalar
+        # T equals the same value repeated per layer
+        model = tiny_model(learn_top_prior=True)
+        variables, _ = init_and_run(model, x14)
+        k = {"rngs": {"sample": jax.random.key(3)}}
+        a = model.apply(variables, 3, method="sample_prior",
+                        temperature=(0.0, 1.0), **k)["out_mean"]
+        b = model.apply(variables, 3, method="sample_prior",
+                        mode_layers=(0,), **k)["out_mean"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        s = model.apply(variables, 3, method="sample_prior",
+                        temperature=0.7, **k)["out_mean"]
+        v = model.apply(variables, 3, method="sample_prior",
+                        temperature=(0.7, 0.7), **k)["out_mean"]
+        np.testing.assert_allclose(np.asarray(s), np.asarray(v), atol=1e-6)
+        with pytest.raises(ValueError, match="temperature needs"):
+            model.apply(variables, 3, method="sample_prior",
+                        temperature=(0.7, 0.7, 0.7), **k)
+
     def test_temperature_scales_diversity(self, x14):
         # batch std of generated images grows with temperature
         model = tiny_model(learn_top_prior=True)
