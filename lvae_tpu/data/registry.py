@@ -186,10 +186,12 @@ def load_dataset(name: str, data_dir: str = "./data") -> DatasetBundle:
             try:
                 n_train = int(size)
             except ValueError:
+                n_train = 0
+            if n_train <= 0:
                 raise ValueError(
                     f"bad size suffix {size!r} in {name!r}: the synthetic "
-                    "fixtures take 'name:N' with integer N train images, "
-                    "e.g. 'synthetic_rgb:16384'"
+                    "fixtures take 'name:N' with a positive integer N of "
+                    "train images, e.g. 'synthetic_rgb:16384'"
                 ) from None
         else:
             n_train = 512

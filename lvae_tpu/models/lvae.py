@@ -385,7 +385,9 @@ class LadderVAE(nn.Module):
             temps = [float(temperature)] * L
         else:
             temps = [float(t) for t in temperature]
-            if len(temps) != L:
+            if len(temps) == 1:
+                temps = temps * L
+            elif len(temps) != L:
                 raise ValueError(
                     f"temperature needs 1 or {L} values, got {len(temps)}"
                 )

@@ -98,13 +98,16 @@ class CheckpointManager:
         # default changed.
         try:
             stored = tuple(self._mngr.item_metadata(step).tree["rng_data"].shape)
-        except (AttributeError, KeyError, TypeError) as e:
+        except Exception as e:  # noqa: BLE001 — see below
             # orbax's metadata accessor is version-specific (works on the
-            # pinned 0.11.x); if its shape ever changes, keep restoring but
-            # say the migration is off rather than failing silently
+            # pinned 0.11.x) and may raise anything from KeyError to its
+            # own IO errors on older/interrupted checkpoints. Metadata is
+            # only an optimization here (it enables rng-impl migration), so
+            # ANY failure must degrade to a plain restore — but loudly, so
+            # a genuinely broken accessor stays visible.
             logging.warning(
-                "checkpoint metadata unreadable (%s) — rng-impl migration "
-                "disabled for this restore", e,
+                "checkpoint metadata unreadable (%s: %s) — rng-impl "
+                "migration disabled for this restore", type(e).__name__, e,
             )
             stored = None
         if stored is not None and stored != tuple(tmpl_tree["rng_data"].shape):

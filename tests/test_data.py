@@ -342,7 +342,11 @@ class TestFixtureGenerator:
 
     def test_all_file_backed_datasets_load(self, tmp_path):
         import sys
-        sys.path.insert(0, "tools")
+        tools = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        )
+        sys.path.insert(0, tools)
         try:
             import make_fixtures
         finally:

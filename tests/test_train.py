@@ -496,8 +496,10 @@ class TestFusedPolicy:
 
         from lvae_tpu.train.trainer import resolve_fused
 
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         surfaces = {}
-        for path in ("lvae_tpu/config.py", "bench.py", "evaluate.py"):
+        for rel in ("lvae_tpu/config.py", "bench.py", "evaluate.py"):
+            path = os.path.join(root, rel)
             with open(path) as f:
                 src = f.read()
             m = re.search(
