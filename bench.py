@@ -102,6 +102,10 @@ def main(argv=None):
     # parity modes' throughput so mount-day numbers are known in advance
     p.add_argument("--conv-pad", default="same", choices=["same", "torch"])
     p.add_argument("--skip-merge", default="pre", choices=["pre", "post"])
+    p.add_argument("--bn-stat-samples", type=int, default=0,
+                   help="BN stats from a strided batch slice of ~N samples "
+                        "(0 = exact full-batch stats) — bandwidth lever, "
+                        "semantic deviation; see DESIGN.md §4")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=8)
     p.add_argument("--smoke", action="store_true")
@@ -154,6 +158,7 @@ def main(argv=None):
         precision=args.precision,
         conv_pad=args.conv_pad,
         skip_merge=args.skip_merge,
+        bn_stat_samples=args.bn_stat_samples,
         remat=args.remat,
         dry_run=True,
     )

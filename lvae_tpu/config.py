@@ -50,6 +50,11 @@ class ExperimentConfig:
     # 'post' (after upsampling — SURVEY §3.4's reading of the reference)
     skip_merge: str = "pre"
     batchnorm: bool = True
+    # >0: train-mode BN statistics from a strided slice of ~N samples
+    # instead of the full batch — an HBM-bandwidth lever (the stats pass
+    # reads N/B of the bytes) that DEVIATES from reference BatchNorm
+    # semantics (noisier stats). 0 (default) = exact full-batch stats.
+    bn_stat_samples: int = 0
     likelihood: Optional[str] = None      # None -> dataset default
     # loss / optimization
     freebits: float = 0.0
@@ -132,6 +137,8 @@ class ExperimentConfig:
             parts.append(f"pad-{self.conv_pad}")
         if self.skip_merge != "pre":
             parts.append(f"sm-{self.skip_merge}")
+        if self.bn_stat_samples:
+            parts.append(f"bnss{self.bn_stat_samples}")
         parts.append(f"seed{self.seed}")
         return ",".join(parts)
 
@@ -189,6 +196,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "blocks (pre-upsampling, cheaper) or after "
                         "(the reference's wiring per SURVEY §3.4)")
     p.add_argument("--no-bn", action="store_true", help="disable batchnorm")
+    p.add_argument("--bn-stat-samples", type=int, default=d.bn_stat_samples,
+                   help="compute train-mode BN statistics from a strided "
+                        "batch slice of ~N samples (0 = exact full-batch "
+                        "stats). Bandwidth lever; deviates from reference "
+                        "BatchNorm semantics — see DESIGN.md §4")
     p.add_argument("--likelihood", default=None,
                    choices=["bernoulli", "gaussian", "discretized_logistic",
                             "discretized_logistic_mix"])
@@ -269,6 +281,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         conv_pad=args.conv_pad,
         skip_merge=args.skip_merge,
         batchnorm=not args.no_bn,
+        bn_stat_samples=args.bn_stat_samples,
         likelihood=args.likelihood,
         freebits=args.freebits,
         beta_anneal=args.beta_anneal,

@@ -206,6 +206,61 @@ class FusedBNActSegment(nn.Module):
         return y
 
 
+class SubsampledBatchNorm(nn.Module):
+    """BatchNorm whose training statistics come from a strided batch slice.
+
+    In a bandwidth-bound step the train-mode stats reduction is an extra
+    HBM traversal of every full-resolution activation map (BN's dominant
+    cost here; removing BN entirely measures +17% img/s — DESIGN.md §4).
+    Computing mean/var from ``x[::B//n]`` reads only ~n/B of those bytes;
+    the normalize pass (and eval mode) is unchanged. This is a SEMANTIC
+    DEVIATION from reference BatchNorm — noisier statistics, and gradients
+    flow through the stats only for the sampled rows — so it is opt-in
+    (``--bn-stat-samples``, default 0 = exact). A *strided* slice (not a
+    leading one) keeps the subsample evenly spread across a batch-sharded
+    mesh axis instead of concentrating the stats work on shard 0.
+
+    The param / batch_stats tree (``scale``/``bias``, ``mean``/``var``)
+    is IDENTICAL to ``nn.BatchNorm``'s, so the same ``BatchNorm_n`` name
+    makes checkpoints interop across ``--bn-stat-samples`` settings.
+    Statistics and the normalize are computed in fp32 regardless of the
+    compute dtype (matching :class:`FusedBNActSegment`'s policy).
+    """
+
+    channels: int
+    stat_samples: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.channels,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.channels,))
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            b = x.shape[0]
+            n = max(1, min(self.stat_samples, b))
+            xs = x[:: b // n].astype(jnp.float32)
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axis=axes)
+            var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
+        y = x.astype(jnp.float32) * inv + shift
+        return y.astype(x.dtype)
+
+
 class ResidualBlock(nn.Module):
     """Residual block whose inner ordering is given by ``block_type``.
 
@@ -228,6 +283,7 @@ class ResidualBlock(nn.Module):
     dropout_rate: float = 0.0
     dropout_impl: str = "bits8"
     batchnorm: bool = True
+    bn_stat_samples: int = 0  # 0 = exact full-batch stats; >0 = strided slice
     gated: bool = False
     conv_pad: str = "same"
     fused_segments: bool = False
@@ -239,6 +295,7 @@ class ResidualBlock(nn.Module):
         can_fuse = (
             self.fused_segments
             and self.batchnorm
+            and self.bn_stat_samples == 0  # segment kernel computes full stats
             and self.nonlin in ("elu", "relu")
             and self.dropout_impl == "bits8"
         )
@@ -271,13 +328,22 @@ class ResidualBlock(nn.Module):
                 continue
             if ch == "b":
                 if self.batchnorm:
-                    h = nn.BatchNorm(
-                        use_running_average=not train,
-                        momentum=0.9,
-                        epsilon=1e-5,
-                        dtype=self.dtype,
-                        name=f"BatchNorm_{nb}",
-                    )(h)
+                    if self.bn_stat_samples > 0:
+                        h = SubsampledBatchNorm(
+                            channels=h.shape[-1],
+                            stat_samples=self.bn_stat_samples,
+                            momentum=0.9,
+                            epsilon=1e-5,
+                            name=f"BatchNorm_{nb}",
+                        )(h, use_running_average=not train)
+                    else:
+                        h = nn.BatchNorm(
+                            use_running_average=not train,
+                            momentum=0.9,
+                            epsilon=1e-5,
+                            dtype=self.dtype,
+                            name=f"BatchNorm_{nb}",
+                        )(h)
                     nb += 1
             elif ch == "a":
                 h = act(h)
@@ -324,6 +390,7 @@ class ResBlockWithResampling(nn.Module):
     dropout_rate: float = 0.0
     dropout_impl: str = "bits8"
     batchnorm: bool = True
+    bn_stat_samples: int = 0
     gated: bool = False
     conv_pad: str = "same"
     fused_segments: bool = False
@@ -383,6 +450,7 @@ class ResBlockWithResampling(nn.Module):
             dropout_rate=self.dropout_rate,
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
+            bn_stat_samples=self.bn_stat_samples,
             gated=self.gated,
             conv_pad=self.conv_pad,
             fused_segments=self.fused_segments,
@@ -407,6 +475,7 @@ class MergeLayer(nn.Module):
     dropout_rate: float = 0.0
     dropout_impl: str = "bits8"
     batchnorm: bool = True
+    bn_stat_samples: int = 0
     conv_pad: str = "same"
     fused_segments: bool = False
     dtype: Optional[Any] = None
@@ -425,6 +494,7 @@ class MergeLayer(nn.Module):
                 dropout_rate=self.dropout_rate,
                 dropout_impl=self.dropout_impl,
                 batchnorm=self.batchnorm,
+                bn_stat_samples=self.bn_stat_samples,
                 conv_pad=self.conv_pad,
                 fused_segments=self.fused_segments,
                 dtype=self.dtype,

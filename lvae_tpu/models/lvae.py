@@ -76,6 +76,7 @@ class TopDownLayer(nn.Module):
     dropout_rate: float = 0.0
     dropout_impl: str = "bits8"
     batchnorm: bool = True
+    bn_stat_samples: int = 0  # 0 = exact; >0 = strided-slice BN stats
     gated: bool = False
     fused: bool = False
     fused_segments: bool = False  # Pallas [d]ba segments (kernels/segment_pallas)
@@ -91,6 +92,7 @@ class TopDownLayer(nn.Module):
             dropout_rate=self.dropout_rate,
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
+            bn_stat_samples=self.bn_stat_samples,
             conv_pad=self.conv_pad,
             fused_segments=self.fused_segments,
             dtype=self.dtype,
@@ -219,6 +221,10 @@ class LadderVAE(nn.Module):
     data_size: Tuple[int, int] = (28, 28)     # true data resolution
     likelihood: str = "bernoulli"
     batchnorm: bool = True
+    # >0: train-mode BN statistics from a strided batch slice of ~this many
+    # samples (bandwidth lever, semantic deviation — see blocks.py
+    # SubsampledBatchNorm). 0 (default): exact full-batch stats.
+    bn_stat_samples: int = 0
     dropout_rate: float = 0.2
     dropout_impl: str = "bits8"   # 'bits8' (uint8 mask bits) | 'float' (fp32 uniform)
     nonlin: str = "elu"
@@ -257,6 +263,7 @@ class LadderVAE(nn.Module):
             dropout_rate=self.dropout_rate,
             dropout_impl=self.dropout_impl,
             batchnorm=self.batchnorm,
+            bn_stat_samples=self.bn_stat_samples,
             conv_pad=self.conv_pad,
             fused_segments=self.fused_segments,
             dtype=self.dtype,

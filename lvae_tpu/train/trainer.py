@@ -85,6 +85,7 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
         data_size=bundle.img_size,
         likelihood=cfg.likelihood or bundle.default_likelihood,
         batchnorm=cfg.batchnorm,
+        bn_stat_samples=cfg.bn_stat_samples,
         dropout_rate=cfg.dropout,
         dropout_impl=cfg.dropout_impl,
         nonlin=cfg.nonlin,

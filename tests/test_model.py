@@ -421,6 +421,134 @@ class TestBlocks:
         assert out["out"].shape == (2, 4, 4, 8)
 
 
+class TestSubsampledBN:
+    """--bn-stat-samples: train-mode BN stats from a strided batch slice
+    (bandwidth lever, opt-in semantic deviation — blocks.py
+    SubsampledBatchNorm)."""
+
+    def _bn_pair(self, rng, b=8, c=8):
+        from flax import linen as nn
+        from lvae_tpu.models.blocks import SubsampledBatchNorm
+
+        x = jnp.asarray(rng.standard_normal((b, 4, 4, c)).astype(np.float32))
+        ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                           epsilon=1e-5)
+        return x, ref, SubsampledBatchNorm
+
+    def test_full_sample_matches_batchnorm(self, rng):
+        """stat_samples >= B degenerates to exact full-batch BatchNorm:
+        same normalized output and same running-average updates."""
+        x, ref, SBN = self._bn_pair(rng)
+        k = jax.random.key(0)
+        vr = ref.init(k, x)
+        yr, mr = ref.apply(vr, x, mutable=["batch_stats"])
+        sbn = SBN(channels=x.shape[-1], stat_samples=x.shape[0])
+        vs = sbn.init(k, x, use_running_average=False)
+        ys, ms = sbn.apply(vs, x, use_running_average=False,
+                           mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yr),
+                                   rtol=1e-5, atol=1e-5)
+        for name in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(ms["batch_stats"][name]),
+                np.asarray(mr["batch_stats"][name]),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_stats_come_from_the_strided_slice(self, rng):
+        """With stat_samples=2 on B=8 the stats must equal a manual
+        computation over x[::4] — and differ from the full-batch stats."""
+        from lvae_tpu.models.blocks import SubsampledBatchNorm
+
+        x = jnp.asarray(rng.standard_normal((8, 4, 4, 8)).astype(np.float32))
+        sbn = SubsampledBatchNorm(channels=8, stat_samples=2)
+        v = sbn.init(jax.random.key(0), x, use_running_average=False)
+        y, mut = sbn.apply(v, x, use_running_average=False,
+                           mutable=["batch_stats"])
+        xs = np.asarray(x)[::4].astype(np.float64)
+        mean = xs.mean(axis=(0, 1, 2))
+        var = (xs * xs).mean(axis=(0, 1, 2)) - mean * mean
+        expect = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+        full_mean = np.asarray(x).mean(axis=(0, 1, 2))
+        assert np.abs(mean - full_mean).max() > 1e-3  # genuinely subsampled
+        # running averages updated FROM the subsampled stats
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]), 0.1 * mean,
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_eval_mode_ignores_subsampling(self, rng):
+        """use_running_average=True normalizes with the stored stats — the
+        stat_samples setting must be invisible at eval time."""
+        from flax import linen as nn
+        from lvae_tpu.models.blocks import SubsampledBatchNorm
+
+        x = jnp.asarray(rng.standard_normal((8, 4, 4, 8)).astype(np.float32))
+        stats = {
+            "params": {
+                "scale": jnp.full((8,), 1.5),
+                "bias": jnp.full((8,), -0.25),
+            },
+            "batch_stats": {
+                "mean": jnp.asarray(rng.standard_normal(8).astype(np.float32)),
+                "var": jnp.asarray(
+                    rng.uniform(0.5, 2.0, 8).astype(np.float32)
+                ),
+            },
+        }
+        yr = nn.BatchNorm(use_running_average=True, epsilon=1e-5).apply(stats, x)
+        ys = SubsampledBatchNorm(channels=8, stat_samples=2).apply(
+            stats, x, use_running_average=True
+        )
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yr),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_model_tree_identical_across_settings(self, rng):
+        """Checkpoint interop: the variable tree (params + batch_stats,
+        paths and shapes) must not depend on bn_stat_samples."""
+        x = jnp.zeros((4, 14, 14, 1), jnp.float32)
+        trees = []
+        for n in (0, 2):
+            model = tiny_model(bn_stat_samples=n)
+            k = jax.random.key(0)
+            v = model.init({"params": k, "sample": k, "dropout": k}, x,
+                           train=True)
+            trees.append(jax.tree.map(lambda a: (a.shape, a.dtype), v))
+        assert trees[0] == trees[1]
+
+    def test_model_trains_finite_with_subsampled_stats(self, rng):
+        """End-to-end tiny forward in train mode: finite outputs, running
+        stats actually move."""
+        x = jnp.asarray(
+            (rng.uniform(size=(8, 14, 14, 1)) > 0.5).astype(np.float32)
+        )
+        model = tiny_model(bn_stat_samples=2, dropout_rate=0.1)
+        k = jax.random.key(0)
+        v = model.init({"params": k, "sample": k, "dropout": k}, x, train=True)
+        out, mut = model.apply(
+            v, x, train=True,
+            rngs={"sample": jax.random.key(1), "dropout": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(np.asarray(out["ll"])).all()
+        assert np.isfinite(np.asarray(out["kl_sep"])).all()
+        before = jax.tree.leaves(v["batch_stats"])
+        after = jax.tree.leaves(mut["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+
+    def test_cli_flag(self):
+        from lvae_tpu.config import config_from_args
+
+        cfg = config_from_args(["--bn-stat-samples", "16"])
+        assert cfg.bn_stat_samples == 16
+        assert "bnss16" in cfg.describe()
+        assert config_from_args([]).bn_stat_samples == 0
+
+
 class TestDeepLadder:
     @pytest.mark.slow
     def test_cifar10_deep_preset_trains(self):
