@@ -99,6 +99,32 @@ class TestDPTrainStep:
         np.testing.assert_allclose(res[1][0], res[8][0], rtol=1e-4)
         np.testing.assert_allclose(res[1][1], res[8][1], rtol=1e-3, atol=1e-6)
 
+    def test_subsampled_bn_matches_single_device(self):
+        # --bn-stat-samples takes a strided slice of the GLOBAL batch
+        # (x[::B//n]); under a batch-sharded mesh XLA resolves that with
+        # collectives, so the trajectory must equal the 1-device run —
+        # the subsample must not silently become per-shard.
+        res = {}
+        for n in (1, 8):
+            exp = tiny_exp(rng_impl="threefry", bn_stat_samples=4)
+            state = exp.init_state()
+            mesh = make_mesh(n)
+            step = make_dp_train_step(
+                make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+            )
+            for i in range(3):
+                idx = jax.device_put(
+                    jnp.arange(16) + i * 16, shard_batch(mesh)
+                )
+                state, metrics = step(state, exp.train_data.array, idx)
+            res[n] = (
+                float(metrics["elbo"]),
+                np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+            )
+        assert np.isfinite(res[1][0]) and np.isfinite(res[8][0])
+        np.testing.assert_allclose(res[1][0], res[8][0], rtol=1e-4)
+        np.testing.assert_allclose(res[1][1], res[8][1], rtol=1e-3, atol=1e-6)
+
     def test_trainer_with_num_data_shards(self):
         exp = tiny_exp(num_data_shards=8, max_steps=4)
         state = Trainer(exp).run()
