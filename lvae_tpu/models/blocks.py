@@ -250,7 +250,11 @@ class SubsampledBatchNorm(nn.Module):
             xs = x[:: b // n].astype(jnp.float32)
             axes = tuple(range(xs.ndim - 1))
             mean = jnp.mean(xs, axis=axes)
-            var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
+            # E[x^2]-E[x]^2 can dip negative in fp32 for large-mean /
+            # tiny-variance channels; rsqrt of a negative is NaN
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean), 0.0
+            )
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
