@@ -84,6 +84,7 @@ class ExperimentConfig:
     # correctness oracle).
     fused: str = "auto"
     num_data_shards: int = 1              # data-parallel devices
+    spatial_shards: int = 1               # image-height shards (2-D data x space mesh)
     log_interval: int = 1000
     test_interval: int = 10_000
     checkpoint_interval: int = 10_000
@@ -139,6 +140,8 @@ class ExperimentConfig:
             parts.append(f"sm-{self.skip_merge}")
         if self.bn_stat_samples:
             parts.append(f"bnss{self.bn_stat_samples}")
+        if self.spatial_shards > 1:
+            parts.append(f"sp{self.spatial_shards}")
         parts.append(f"seed{self.seed}")
         return ",".join(parts)
 
@@ -235,6 +238,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from host via grain instead of HBM-resident data")
     p.add_argument("--num-data-shards", type=int, default=d.num_data_shards)
+    p.add_argument("--spatial-shards", type=int, default=d.spatial_shards,
+                   help="shard activations along image height over a second "
+                        "mesh axis (devices = num-data-shards x spatial-shards); "
+                        "for images too large for one chip's HBM")
     p.add_argument("--log-interval", type=int, default=d.log_interval)
     p.add_argument("--test-interval", type=int, default=d.test_interval)
     p.add_argument("--checkpoint-interval", type=int, default=d.checkpoint_interval)
@@ -299,6 +306,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         streaming=args.streaming,
         fused=args.fused,
         num_data_shards=args.num_data_shards,
+        spatial_shards=args.spatial_shards,
         log_interval=args.log_interval,
         test_interval=args.test_interval,
         checkpoint_interval=args.checkpoint_interval,

@@ -93,7 +93,8 @@ class GrainLoader:
                 buf = []
 
 
-def make_streaming_train_step(model, tx, loss_cfg, steps_per_call: int = 1):
+def make_streaming_train_step(model, tx, loss_cfg, steps_per_call: int = 1,
+                              constrain_x=None):
     """(state, batch_u8) -> (state, metrics) on an explicit host-fed batch.
 
     With ``steps_per_call > 1`` the input is a [k, B, ...] stack consumed
@@ -105,13 +106,18 @@ def make_streaming_train_step(model, tx, loss_cfg, steps_per_call: int = 1):
     )
 
     if steps_per_call > 1:
-        return make_multi_batch_train_step(model, tx, loss_cfg, steps_per_call)
-    return make_batch_train_step(model, tx, loss_cfg)
+        return make_multi_batch_train_step(
+            model, tx, loss_cfg, steps_per_call, constrain_x
+        )
+    return make_batch_train_step(model, tx, loss_cfg, constrain_x)
 
 
 def make_sharded_streaming_step(model, tx, loss_cfg, mesh,
                                 steps_per_call: int = 1,
                                 axis_name: str = "data"):
+    # NB: with a 2-D (data, space) mesh the activation height sharding is
+    # applied INSIDE the step (activation_constraint hook); the host-fed
+    # uint8 batch itself shards on its batch axis only.
     """Data-parallel streaming step: state replicated, the batch sharded on
     its B axis (axis 0 for [B,...], axis 1 for [k, B, ...]). Returns
     ``(jitted_step, put)`` where ``put(np_batch)`` assembles the globally
@@ -119,9 +125,11 @@ def make_sharded_streaming_step(model, tx, loss_cfg, mesh,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from lvae_tpu.parallel.mesh import replicated
+    from lvae_tpu.parallel.mesh import activation_constraint, replicated
 
-    base = make_streaming_train_step(model, tx, loss_cfg, steps_per_call)
+    base = make_streaming_train_step(
+        model, tx, loss_cfg, steps_per_call, activation_constraint(mesh)
+    )
     spec = P(None, axis_name) if steps_per_call > 1 else P(axis_name)
     batch_sharding = NamedSharding(mesh, spec)
     rep = replicated(mesh)

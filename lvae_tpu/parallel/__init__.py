@@ -1,6 +1,8 @@
-"""Parallelism: device mesh + sharding for data-parallel training."""
+"""Parallelism: device mesh + sharding (data-parallel, optional spatial)."""
 
 from lvae_tpu.parallel.mesh import (
+    SPATIAL_AXIS,
+    activation_constraint,
     make_dp_eval_step,
     make_dp_train_step,
     make_mesh,
@@ -15,6 +17,8 @@ from lvae_tpu.parallel.multihost import (
 )
 
 __all__ = [
+    "SPATIAL_AXIS",
+    "activation_constraint",
     "make_dp_eval_step",
     "make_dp_train_step",
     "make_mesh",

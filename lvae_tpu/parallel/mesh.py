@@ -27,26 +27,64 @@ iid draws).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Name of the optional second mesh axis that shards activations along the
+# image-height dimension (see `make_mesh(spatial=...)`).
+SPATIAL_AXIS = "space"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
     axis_name: str = "data",
+    spatial: int = 1,
 ) -> Mesh:
+    """1-D ``(data,)`` mesh, or — with ``spatial > 1`` — a 2-D
+    ``(data, space)`` mesh of ``n_devices × spatial`` devices.
+
+    The ``space`` axis shards activations along image HEIGHT (NHWC axis 1)
+    via GSPMD: one `with_sharding_constraint` on the preprocessed batch
+    (see :func:`activation_constraint`) and XLA's SPMD partitioner
+    propagates the layout through the conv stacks, inserting halo
+    exchanges for the k>1 kernels and cross-shard reductions for
+    batchnorm statistics and the loss — exact semantics, no hand-written
+    communication (SURVEY.md §5: the TPU analog for images that outgrow
+    one chip's HBM; the reference has no counterpart)."""
     devs = list(devices) if devices is not None else jax.devices()
-    if n_devices is not None:
-        if len(devs) < n_devices:
-            raise ValueError(
-                f"requested {n_devices} devices, only {len(devs)} available"
-            )
-        devs = devs[:n_devices]
+    n_data = n_devices if n_devices is not None else len(devs) // spatial
+    total = n_data * spatial
+    if len(devs) < total:
+        raise ValueError(
+            f"requested {total} devices ({n_data} data x {spatial} spatial), "
+            f"only {len(devs)} available"
+        )
+    devs = devs[:total]
+    if spatial > 1:
+        grid = np.asarray(devs).reshape(n_data, spatial)
+        return Mesh(grid, (axis_name, SPATIAL_AXIS))
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def activation_constraint(
+    mesh: Mesh, axis_name: str = "data"
+) -> Optional[Callable[[jax.Array], jax.Array]]:
+    """Sharding-constraint hook for NHWC activations: batch on ``data``,
+    height on ``space`` when the mesh has that axis (else None — the pure
+    data-parallel layout needs no in-step constraint; the sharded batch
+    gather already pins it)."""
+    if SPATIAL_AXIS not in mesh.axis_names:
+        return None
+    sh = NamedSharding(mesh, P(axis_name, SPATIAL_AXIS, None, None))
+
+    def constrain(x: jax.Array) -> jax.Array:
+        return jax.lax.with_sharding_constraint(x, sh)
+
+    return constrain
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

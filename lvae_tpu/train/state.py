@@ -107,18 +107,26 @@ def create_train_state(
 
 
 def make_batch_train_step(
-    model, tx: optax.GradientTransformation, cfg: LossConfig
+    model, tx: optax.GradientTransformation, cfg: LossConfig,
+    constrain_x: Optional[Callable] = None,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, dict]]:
     """Train step on an explicit uint8 batch (no dataset gather): the body
     shared by the device-resident path (`make_train_step` wraps it with a
     ``jnp.take``) and the streaming path, where the batch arrives from the
     host pipeline and a gather would force an all-gather of a sharded
-    batch under data parallelism."""
+    batch under data parallelism.
+
+    ``constrain_x`` (optional) is applied to the preprocessed [B,H,W,C]
+    batch — the spatial-sharding hook (`parallel.mesh.activation_constraint`):
+    one GSPMD sharding constraint here and XLA propagates the
+    batch+height layout through the whole model."""
 
     def train_step(state: TrainState, batch_u8: jnp.ndarray):
         key = jax.random.fold_in(state.rng, state.step)
         k_pre, k_sample, k_drop = jax.random.split(key, 3)
         x = preprocess_batch(batch_u8, k_pre, cfg.preprocess)
+        if constrain_x is not None:
+            x = constrain_x(x)
         beta = linear_anneal(state.step, 0.0, 1.0, cfg.beta_anneal_steps)
 
         def loss_fn(params):
@@ -175,11 +183,12 @@ def make_batch_train_step(
 
 
 def make_train_step(
-    model, tx: optax.GradientTransformation, cfg: LossConfig
+    model, tx: optax.GradientTransformation, cfg: LossConfig,
+    constrain_x: Optional[Callable] = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, dict]]:
     """Build the jit-able train step. `data` is the full device-resident
     uint8 split; `idx` the [batch] index vector for this step."""
-    batch_step = make_batch_train_step(model, tx, cfg)
+    batch_step = make_batch_train_step(model, tx, cfg, constrain_x)
 
     def train_step(state: TrainState, data: jnp.ndarray, idx: jnp.ndarray):
         return batch_step(state, jnp.take(data, idx, axis=0))
@@ -188,13 +197,14 @@ def make_train_step(
 
 
 def make_multi_batch_train_step(
-    model, tx: optax.GradientTransformation, cfg: LossConfig, k: int
+    model, tx: optax.GradientTransformation, cfg: LossConfig, k: int,
+    constrain_x: Optional[Callable] = None,
 ):
     """K explicit-batch train steps per dispatch under ``lax.scan``:
     `batches` is a [K, B, H, W, C] uint8 stack (K consecutive host-pipeline
     batches). Returns the state after K steps and the last step's metrics,
     mirroring :func:`make_multi_train_step` for the streaming path."""
-    batch_step = make_batch_train_step(model, tx, cfg)
+    batch_step = make_batch_train_step(model, tx, cfg, constrain_x)
 
     def multi_step(state: TrainState, batches: jnp.ndarray):
         def body(carry, batch):
@@ -207,7 +217,8 @@ def make_multi_batch_train_step(
     return multi_step
 
 
-def make_multi_train_step(model, tx: optax.GradientTransformation, cfg: LossConfig, k: int):
+def make_multi_train_step(model, tx: optax.GradientTransformation, cfg: LossConfig, k: int,
+                          constrain_x: Optional[Callable] = None):
     """K train steps per dispatch under ``lax.scan``.
 
     The single-step program is host-dispatch-bound at realistic batch
@@ -216,7 +227,7 @@ def make_multi_train_step(model, tx: optax.GradientTransformation, cfg: LossConf
     overhead K-fold. `idx` is a [K, batch] index matrix (K consecutive
     batches). Returns the state after K steps and the last step's
     metrics (the EMA inside the state still sees every step)."""
-    step = make_train_step(model, tx, cfg)
+    step = make_train_step(model, tx, cfg, constrain_x)
 
     def multi_step(state: TrainState, data: jnp.ndarray, idx: jnp.ndarray):
         def body(carry, idx_row):

@@ -141,10 +141,16 @@ class Experiment:
         # for the masked sums. Per-image eval keys make the result
         # independent of the device count (up to summation order).
         self.mesh = None
-        if cfg.num_data_shards > 1:
+        if cfg.num_data_shards > 1 or cfg.spatial_shards > 1:
             from lvae_tpu.parallel import make_mesh, replicated, shard_batch
 
-            self.mesh = make_mesh(cfg.num_data_shards)
+            # 2-D (data, space) mesh when --spatial-shards > 1: training
+            # activations shard over image height too (eval stays
+            # batch-sharded only — its per-image vmap layout makes height
+            # sharding pointless there)
+            self.mesh = make_mesh(
+                max(cfg.num_data_shards, 1), spatial=cfg.spatial_shards
+            )
             rep = replicated(self.mesh)
             sh = shard_batch(self.mesh)
             self._eval_accum = jax.jit(
@@ -285,6 +291,28 @@ class Trainer:
         self.exp = experiment
         self.cfg = experiment.cfg
 
+    def _mesh_checks_and_constraint(self):
+        """Validate batch/height divisibility over the mesh and return the
+        activation sharding-constraint hook (None without a spatial axis)."""
+        cfg, exp = self.cfg, self.exp
+        if exp.mesh is None:
+            return None
+        if cfg.num_data_shards > 1 and cfg.batch_size % cfg.num_data_shards:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"num_data_shards {cfg.num_data_shards}"
+            )
+        if cfg.spatial_shards > 1:
+            h = exp.bundle.padded_size[0]
+            if h % cfg.spatial_shards:
+                raise ValueError(
+                    f"padded image height {h} not divisible by "
+                    f"spatial_shards {cfg.spatial_shards}"
+                )
+        from lvae_tpu.parallel.mesh import activation_constraint
+
+        return activation_constraint(exp.mesh)
+
     def run(self) -> TrainState:
         cfg, exp = self.cfg, self.exp
         run_name = cfg.make_run_name()
@@ -336,21 +364,19 @@ class Trainer:
 
         if cfg.streaming:
             return self._run_streaming(state, run_dir, logger, ckpt)
+        constrain = self._mesh_checks_and_constraint()
         if k > 1:
             from lvae_tpu.train.state import make_multi_train_step
 
-            base_step = make_multi_train_step(exp.model, exp.tx, exp.loss_cfg, k)
+            base_step = make_multi_train_step(
+                exp.model, exp.tx, exp.loss_cfg, k, constrain
+            )
         else:
-            base_step = make_train_step(exp.model, exp.tx, exp.loss_cfg)
+            base_step = make_train_step(exp.model, exp.tx, exp.loss_cfg, constrain)
 
-        if cfg.num_data_shards > 1:
+        if exp.mesh is not None:
             from lvae_tpu.parallel import make_dp_train_step
 
-            if cfg.batch_size % cfg.num_data_shards:
-                raise ValueError(
-                    f"batch_size {cfg.batch_size} not divisible by "
-                    f"num_data_shards {cfg.num_data_shards}"
-                )
             # the one mesh Experiment.__init__ built — train and eval must
             # never construct meshes independently or they could diverge
             train_step = make_dp_train_step(
@@ -506,7 +532,8 @@ class Trainer:
                 "--num-data-shards > 1 (a data-parallel mesh) so gradients "
                 "are synchronized across hosts"
             )
-        if cfg.num_data_shards > 1:
+        self._mesh_checks_and_constraint()   # divisibility validation
+        if exp.mesh is not None:
             step_fn, put = make_sharded_streaming_step(
                 exp.model, exp.tx, exp.loss_cfg, exp.mesh, steps_per_call=k
             )

@@ -136,6 +136,71 @@ class TestDPTrainStep:
             Trainer(exp).run()
 
 
+class TestSpatialSharding:
+    """2-D (data, space) mesh: activations shard over image HEIGHT via one
+    GSPMD constraint on the preprocessed batch (parallel.mesh
+    activation_constraint); XLA inserts the conv halo exchanges and the
+    cross-shard BN/loss reductions. Exact semantics — the trajectory must
+    match the single-device run. This is the SURVEY.md §5 'images outgrow
+    one chip's HBM' path; the reference has no counterpart."""
+
+    def test_spatial_mesh_shape(self):
+        mesh = make_mesh(2, spatial=4)
+        assert mesh.shape == {"data": 2, "space": 4}
+        with pytest.raises(ValueError, match="only 8 available"):
+            make_mesh(4, spatial=4)
+
+    def test_activation_constraint_none_without_spatial_axis(self):
+        from lvae_tpu.parallel import activation_constraint
+
+        assert activation_constraint(make_mesh(4)) is None
+        assert activation_constraint(make_mesh(2, spatial=2)) is not None
+
+    @pytest.mark.slow
+    def test_trajectory_matches_single_device(self):
+        # threefry pins the RNG streams (see TestDPTrainStep); any drift
+        # beyond fp reassociation in the mesh reductions is a bug in the
+        # spatial partitioning (halo exchange / BN stat reduction).
+        from lvae_tpu.parallel import activation_constraint
+
+        res = {}
+        for n_data, spatial in ((1, 1), (2, 2), (1, 4)):
+            exp = tiny_exp(rng_impl="threefry", dropout=0.1)
+            state = exp.init_state()
+            mesh = make_mesh(n_data, spatial=spatial)
+            step = make_dp_train_step(
+                make_train_step(
+                    exp.model, exp.tx, exp.loss_cfg,
+                    activation_constraint(mesh),
+                ),
+                mesh,
+            )
+            for i in range(3):
+                idx = jax.device_put(jnp.arange(16) + i * 16, shard_batch(mesh))
+                state, metrics = step(state, exp.train_data.array, idx)
+            res[(n_data, spatial)] = (
+                float(metrics["elbo"]),
+                np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+            )
+        ref = res[(1, 1)]
+        for key in ((2, 2), (1, 4)):
+            np.testing.assert_allclose(ref[0], res[key][0], rtol=1e-4)
+            np.testing.assert_allclose(ref[1], res[key][1], rtol=1e-3, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_trainer_with_spatial_shards(self):
+        # end-to-end CLI-config path: 2 data x 2 space mesh, full Trainer.run
+        exp = tiny_exp(num_data_shards=2, spatial_shards=2, max_steps=4)
+        state = Trainer(exp).run()
+        assert int(state.step) == 4
+
+    def test_height_not_divisible_raises(self):
+        # padded MNIST height is 32; 5 spatial shards cannot tile it
+        exp = tiny_exp(spatial_shards=5)
+        with pytest.raises(ValueError, match="height"):
+            Trainer(exp).run()
+
+
 class TestDPEvalStep:
     def test_sharded_eval(self):
         exp = tiny_exp()
