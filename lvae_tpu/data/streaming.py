@@ -128,7 +128,8 @@ def make_sharded_streaming_step(model, tx, loss_cfg, mesh,
     from lvae_tpu.parallel.mesh import activation_constraint, replicated
 
     base = make_streaming_train_step(
-        model, tx, loss_cfg, steps_per_call, activation_constraint(mesh)
+        model, tx, loss_cfg, steps_per_call,
+        activation_constraint(mesh, axis_name),
     )
     spec = P(None, axis_name) if steps_per_call > 1 else P(axis_name)
     batch_sharding = NamedSharding(mesh, spec)

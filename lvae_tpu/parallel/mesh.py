@@ -55,6 +55,8 @@ def make_mesh(
     batchnorm statistics and the loss — exact semantics, no hand-written
     communication (SURVEY.md §5: the TPU analog for images that outgrow
     one chip's HBM; the reference has no counterpart)."""
+    if spatial < 1:
+        raise ValueError(f"spatial must be >= 1, got {spatial}")
     devs = list(devices) if devices is not None else jax.devices()
     n_data = n_devices if n_devices is not None else len(devs) // spatial
     total = n_data * spatial

@@ -207,9 +207,10 @@ class Experiment:
         ``--test-batch-size`` and sweep order."""
         bs = min(self.cfg.test_batch_size, self.test_data.n)
         if self.mesh is not None:
-            # the sharded batch axis must divide evenly over the mesh;
-            # round up and let the pad+mask absorb the difference
-            s = self.mesh.devices.size
+            # the sharded batch axis must divide evenly over the DATA axis
+            # (eval never shards on 'space'); round up and let the
+            # pad+mask absorb the difference
+            s = self.mesh.shape["data"]
             bs = -(-bs // s) * s
         carry = self._eval_init()
         key = jax.random.key(0)
@@ -303,10 +304,13 @@ class Trainer:
                 f"num_data_shards {cfg.num_data_shards}"
             )
         if cfg.spatial_shards > 1:
-            h = exp.bundle.padded_size[0]
+            # the constraint applies to the PRE-PAD batch (the model pads
+            # to padded_size afterwards, with GSPMD re-balancing there),
+            # so the data height is what must tile over the space axis
+            h = exp.bundle.data_shape[0]
             if h % cfg.spatial_shards:
                 raise ValueError(
-                    f"padded image height {h} not divisible by "
+                    f"image height {h} not divisible by "
                     f"spatial_shards {cfg.spatial_shards}"
                 )
         from lvae_tpu.parallel.mesh import activation_constraint
@@ -314,6 +318,30 @@ class Trainer:
         return activation_constraint(exp.mesh)
 
     def run(self) -> TrainState:
+        """Run training to ``max_steps``. SIGTERM (preemption, job
+        schedulers) is mapped to the KeyboardInterrupt path for the
+        duration of the run, so both loops save a final checkpoint and
+        exit cleanly instead of dying mid-step — paired with
+        ``--auto-resume`` this makes preempted runs restartable
+        (SURVEY.md §5 failure recovery; the reference loses unsaved
+        progress on SIGTERM)."""
+        import signal
+
+        def _to_interrupt(signum, frame):
+            raise KeyboardInterrupt
+
+        try:
+            prev = signal.signal(signal.SIGTERM, _to_interrupt)
+            installed = True
+        except ValueError:      # not the main thread — leave signals alone
+            installed = False
+        try:
+            return self._run_impl()
+        finally:
+            if installed:
+                signal.signal(signal.SIGTERM, prev or signal.SIG_DFL)
+
+    def _run_impl(self) -> TrainState:
         cfg, exp = self.cfg, self.exp
         run_name = cfg.make_run_name()
         run_dir = os.path.join(cfg.output_dir, run_name)
@@ -518,10 +546,12 @@ class Trainer:
 
         k = max(1, cfg.steps_per_call)
         n_proc = jax.process_count()
-        if cfg.batch_size % max(cfg.num_data_shards, 1) or cfg.batch_size % n_proc:
+        # batch % num_data_shards is validated by _mesh_checks_and_constraint
+        # below; the per-process split is streaming-specific
+        if cfg.batch_size % n_proc:
             raise ValueError(
                 f"batch_size {cfg.batch_size} must divide evenly over "
-                f"{cfg.num_data_shards} data shards and {n_proc} processes"
+                f"{n_proc} processes"
             )
         if n_proc > 1 and cfg.num_data_shards <= 1:
             # Without a mesh there is no gradient psum: each process would

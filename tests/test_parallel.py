@@ -195,7 +195,7 @@ class TestSpatialSharding:
         assert int(state.step) == 4
 
     def test_height_not_divisible_raises(self):
-        # padded MNIST height is 32; 5 spatial shards cannot tile it
+        # the constrained (pre-pad) height is 28; 5 shards cannot tile it
         exp = tiny_exp(spatial_shards=5)
         with pytest.raises(ValueError, match="height"):
             Trainer(exp).run()
