@@ -427,18 +427,28 @@ class Trainer:
                 "nothing"
             )
 
-        host_rng = np.random.default_rng(cfg.seed)
         step = int(state.step)
         t_last = time.time()
         steps_since_log = 0
         data = exp.train_data.array
+        steps_per_epoch = exp.train_data.n // cfg.batch_size
 
         def index_stream():
             """Endless stream of [batch] (k=1) or [k, batch] index arrays,
-            reshuffling each epoch."""
+            reshuffling each epoch. Epoch e's shuffle is a pure function of
+            (seed, e) and the stream starts at the restored step, so a
+            preempted + resumed run consumes exactly the batch sequence an
+            uninterrupted run would (resume-exact data order — the
+            reference reshuffles from scratch on restart)."""
+            epoch, pos = divmod(step, steps_per_epoch)
             buf = []
             while True:
-                for idx in exp.train_data.epoch_indices(host_rng, cfg.batch_size):
+                erng = np.random.default_rng((cfg.seed, epoch))
+                for bi, idx in enumerate(
+                    exp.train_data.epoch_indices(erng, cfg.batch_size)
+                ):
+                    if bi < pos:
+                        continue
                     if k == 1:
                         yield idx
                     else:
@@ -446,6 +456,8 @@ class Trainer:
                         if len(buf) == k:
                             yield np.stack(buf)
                             buf = []
+                pos = 0
+                epoch += 1
 
         def crossed(interval):
             return (step // interval) > ((step - k) // interval)

@@ -171,6 +171,39 @@ class TestCheckpoint:
         assert cfg2.seed == cfg.seed
 
 
+class TestResumeExactDataOrder:
+    @pytest.mark.slow
+    def test_interrupted_plus_resumed_equals_uninterrupted(self, tmp_path):
+        """Epoch shuffles are a pure function of (seed, epoch) and the
+        index stream fast-forwards to the restored step, so
+        train-to-6 == train-to-3 + resume-to-6 BITWISE — including a
+        mid-epoch resume and an epoch boundary (batch 256 on the
+        512-image synthetic set -> 2 steps/epoch; resume at step 3 =
+        epoch 1, position 1). The reference reshuffles from scratch on
+        restart and cannot make this guarantee."""
+        kw = dict(
+            batch_size=256,
+            checkpoint_interval=3,
+            dry_run=False,
+            output_dir=str(tmp_path),
+        )
+        full = Trainer(Experiment(tiny_cfg(max_steps=6, run_name="full", **kw))).run()
+
+        Trainer(Experiment(tiny_cfg(max_steps=3, run_name="part", **kw))).run()
+        resumed = Trainer(
+            Experiment(
+                tiny_cfg(max_steps=6, run_name="part", auto_resume=True, **kw)
+            )
+        ).run()
+
+        assert int(full.step) == int(resumed.step) == 6
+        for a, b in zip(
+            jax.tree_util.tree_leaves(full.params),
+            jax.tree_util.tree_leaves(resumed.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestDataDepInit:
     pytestmark = pytest.mark.slow
     def test_unit_variance_after_init(self):
