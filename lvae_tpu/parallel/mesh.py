@@ -109,6 +109,11 @@ def make_dp_train_step(
     return jax.jit(
         train_step,
         in_shardings=(rep, rep, batch),
+        # pin the outputs: left to itself the partitioner may return some
+        # param leaves sharded over a spatial axis, which then mismatches
+        # the replicated in_shardings on the NEXT call (strictly rejected
+        # under multi-process); state must round-trip replicated anyway
+        out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
 

@@ -56,9 +56,13 @@ def initialize(
         )
 
 
-def global_mesh(axis_name: str = "data") -> jax.sharding.Mesh:
-    """1-D data mesh over every device in the job (all hosts/slices)."""
-    return make_mesh(devices=jax.devices(), axis_name=axis_name)
+def global_mesh(axis_name: str = "data", spatial: int = 1) -> jax.sharding.Mesh:
+    """Data mesh over every device in the job (all hosts/slices); with
+    ``spatial > 1`` a 2-D ``(data, space)`` mesh whose row-major layout
+    keeps each spatial group on consecutive (same-host) devices — conv
+    halo exchanges ride ICI within a host while the gradient psum crosses
+    hosts, the bandwidth-correct orientation."""
+    return make_mesh(devices=jax.devices(), axis_name=axis_name, spatial=spatial)
 
 
 def host_local_indices(global_idx: np.ndarray) -> np.ndarray:

@@ -78,3 +78,16 @@ def test_two_process_data_parallel_train():
     import math
 
     assert math.isfinite(results[0]["elbo"])
+
+    # Spatial leg: a (data, space) mesh with the device grid transposed so
+    # every spatial pair spans BOTH processes — conv halo exchanges crossed
+    # the process boundary via gloo, and (threefry, same seed/batches) the
+    # trajectory must agree with the data-parallel leg up to fp
+    # reassociation in the mesh reductions.
+    for r in results:
+        assert r["spatial_mesh"] == {"data": 4, "space": 2}
+    assert results[0]["elbo_spatial"] == results[1]["elbo_spatial"]
+    assert math.isfinite(results[0]["elbo_spatial"])
+    assert abs(results[0]["elbo_spatial"] - results[0]["elbo"]) < 1e-2 * abs(
+        results[0]["elbo"]
+    )

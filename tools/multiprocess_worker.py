@@ -100,6 +100,44 @@ def main() -> None:
         state, metrics = step(state, data_g, idx_g)
         elbo = float(jax.device_get(metrics["elbo"]))
 
+    # Second leg: the same 3 steps on a 2-D (data, space) mesh whose
+    # device grid is deliberately TRANSPOSED so every spatial pair spans
+    # both processes — the conv halo exchanges (not just the gradient
+    # psum) must cross the process boundary through the gloo collective.
+    # threefry + identical seed/batches => the trajectory must agree with
+    # the data-parallel leg up to fp reassociation.
+    from jax.sharding import Mesh
+
+    from lvae_tpu.parallel.mesh import SPATIAL_AXIS, activation_constraint
+
+    grid = np.asarray(jax.devices()).reshape(2, -1).T   # [n_data, 2]
+    mesh_sp = Mesh(grid, ("data", SPATIAL_AXIS))
+    state_sp = jax.jit(
+        lambda: create_train_state(
+            exp.model, exp.tx, x0, cfg.seed, len(cfg.zdims),
+            rng_impl=cfg.rng_impl,
+        ),
+        out_shardings=jax.sharding.NamedSharding(
+            mesh_sp, jax.sharding.PartitionSpec()
+        ),
+    )()
+    data_sp = jax.make_array_from_process_local_data(
+        jax.sharding.NamedSharding(mesh_sp, jax.sharding.PartitionSpec()),
+        np.asarray(bundle.train),
+    )
+    step_sp = make_dp_train_step(
+        make_train_step(
+            exp.model, exp.tx, exp.loss_cfg, activation_constraint(mesh_sp)
+        ),
+        mesh_sp,
+    )
+    elbo_sp = float("nan")
+    for i in range(3):
+        idx = np.arange(batch) + i * batch
+        idx_g = multihost.make_global_batch_indices(mesh_sp, idx)
+        state_sp, metrics_sp = step_sp(state_sp, data_sp, idx_g)
+        elbo_sp = float(jax.device_get(metrics_sp["elbo"]))
+
     print(
         "RESULT "
         + json.dumps(
@@ -109,6 +147,8 @@ def main() -> None:
                 "ndev": len(jax.devices()),
                 "step": int(jax.device_get(state.step)),
                 "elbo": elbo,
+                "elbo_spatial": elbo_sp,
+                "spatial_mesh": {str(k): int(v) for k, v in mesh_sp.shape.items()},
             }
         ),
         flush=True,
