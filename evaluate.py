@@ -55,13 +55,18 @@ def parse_args(argv=None):
                         "(T<1 sharper, T=0 degenerates to the mode); one "
                         "value for all layers or one per stochastic layer "
                         "(bottom first)")
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force a JAX backend (e.g. evaluate on CPU without "
+                        "touching the TPU)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     from lvae_tpu.cache import enable_persistent_cache
+    from lvae_tpu.config import apply_platform
 
+    apply_platform(args.platform)
     enable_persistent_cache()
     from lvae_tpu.config import config_from_dict
     from lvae_tpu.eval.iwll import evaluate_iwll

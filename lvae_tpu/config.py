@@ -261,11 +261,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip per-interval metric readbacks (console shows step/img/s "
                         "only; EMA metrics fetched once at the end). Avoids D2H "
                         "transfers that stall remote-TPU dispatch pipelines.")
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force a JAX backend (e.g. run the CLI on CPU for "
+                        "debugging/CI without touching the TPU; combine with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "for a virtual N-device mesh). Environment knob — "
+                        "not stored in the run config.")
     return p
+
+
+def apply_platform(platform: Optional[str]) -> None:
+    """Force the JAX backend before it initializes. A config.update is the
+    only override that works on this class of box: plugin backends (the
+    tunneled TPU) ignore a shell-level ``JAX_PLATFORMS``."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
 
 def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
     args = build_parser().parse_args(argv)
+    apply_platform(args.platform)
     return ExperimentConfig(
         dataset=args.dataset,
         data_dir=args.data_dir,

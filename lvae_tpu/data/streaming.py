@@ -134,7 +134,17 @@ def make_sharded_streaming_step(model, tx, loss_cfg, mesh,
     spec = P(None, axis_name) if steps_per_call > 1 else P(axis_name)
     batch_sharding = NamedSharding(mesh, spec)
     rep = replicated(mesh)
-    step = jax.jit(base, in_shardings=(rep, batch_sharding), donate_argnums=(0,))
+    step = jax.jit(
+        base,
+        in_shardings=(rep, batch_sharding),
+        # pin the outputs: on a 2-D (data, space) mesh the partitioner may
+        # otherwise return some param leaves sharded over the spatial axis,
+        # which then mismatches the replicated in_shardings on the NEXT
+        # call (strictly rejected under multi-process); state must
+        # round-trip replicated anyway — same pin as make_dp_train_step
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
 
     def put(batch_np: np.ndarray) -> jax.Array:
         return jax.make_array_from_process_local_data(batch_sharding, batch_np)

@@ -53,7 +53,9 @@ def test_two_process_data_parallel_train():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # three legs (dp, spatial, streaming), each with its own cold
+            # compile in two processes — ~5 min total on this box
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
             assert p.returncode == 0, f"worker failed:\n{out}"
     finally:
@@ -91,3 +93,17 @@ def test_two_process_data_parallel_train():
     assert abs(results[0]["elbo_spatial"] - results[0]["elbo"]) < 1e-2 * abs(
         results[0]["elbo"]
     )
+
+    # Streaming leg: each process's grain pipeline read only its strided
+    # half of the dataset and fed its local portion of the globally
+    # B-sharded batch (make_array_from_process_local_data) — the
+    # production --streaming --num-data-shards recipe. SPMD => the
+    # replicated post-training state must be bitwise identical across
+    # processes.
+    for r in results:
+        assert r["stream_step"] == 3
+    # both shards are exactly half the dataset (worker asserts n//nproc)
+    assert results[0]["stream_shard_n"] == results[1]["stream_shard_n"]
+    assert results[0]["param_sum_stream"] == results[1]["param_sum_stream"]
+    assert results[0]["elbo_stream"] == results[1]["elbo_stream"]
+    assert math.isfinite(results[0]["elbo_stream"])

@@ -138,6 +138,44 @@ def main() -> None:
         state_sp, metrics_sp = step_sp(state_sp, data_sp, idx_g)
         elbo_sp = float(jax.device_get(metrics_sp["elbo"]))
 
+    # Third leg: the STREAMING per-host shard path (data/streaming.py /
+    # trainer._run_streaming recipe) executed for real across processes:
+    # each process's grain pipeline reads only its process_index-strided
+    # slice of the dataset and contributes its local half of the globally
+    # B-sharded batch via make_array_from_process_local_data; the gradient
+    # psum again crosses the process boundary. SPMD means both processes
+    # must end with bitwise-identical replicated state — the parent test
+    # asserts the param checksums match.
+    from lvae_tpu.data.streaming import GrainLoader, make_sharded_streaming_step
+
+    loader = GrainLoader(
+        np.asarray(bundle.train), batch // nproc,
+        seed=cfg.seed, shard_index=pid, shard_count=nproc,
+    )
+    assert loader.n == len(bundle.train) // nproc
+    step_stream, put = make_sharded_streaming_step(
+        exp.model, exp.tx, exp.loss_cfg, mesh
+    )
+    state_st = jax.jit(
+        lambda: create_train_state(
+            exp.model, exp.tx, x0, cfg.seed, len(cfg.zdims),
+            rng_impl=cfg.rng_impl,
+        ),
+        out_shardings=rep,
+    )()
+    elbo_st = float("nan")
+    for batch_np, _ in zip(loader.epochs(), range(3)):
+        state_st, metrics_st = step_stream(state_st, put(batch_np))
+        elbo_st = float(jax.device_get(metrics_st["elbo"]))
+    param_sum_st = float(
+        jax.device_get(
+            sum(
+                jnp.sum(jnp.abs(x))
+                for x in jax.tree_util.tree_leaves(state_st.params)
+            )
+        )
+    )
+
     print(
         "RESULT "
         + json.dumps(
@@ -149,6 +187,10 @@ def main() -> None:
                 "elbo": elbo,
                 "elbo_spatial": elbo_sp,
                 "spatial_mesh": {str(k): int(v) for k, v in mesh_sp.shape.items()},
+                "elbo_stream": elbo_st,
+                "stream_step": int(jax.device_get(state_st.step)),
+                "stream_shard_n": loader.n,
+                "param_sum_stream": param_sum_st,
             }
         ),
         flush=True,
