@@ -311,6 +311,14 @@ class TestCLI:
         cfg = config_from_args(["--resample-mode", "interpolate"])
         assert cfg.resample_mode == "interpolate"
 
+    def test_platform_flag_is_env_knob_not_config(self):
+        # --platform cpu forces the backend (conftest already did) but must
+        # NOT persist into the run config: a CPU debug session would
+        # otherwise pin every later restore of that run to CPU.
+        cfg = config_from_args(["--platform", "cpu"])
+        assert not hasattr(cfg, "platform")
+        assert jax.default_backend() == "cpu"
+
 
 class TestMultiStep:
     pytestmark = pytest.mark.slow
