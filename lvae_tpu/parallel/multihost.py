@@ -10,10 +10,12 @@ module completes the new framework's scaling story beyond one host:
   within a slice the gradient psum rides ICI; across slices XLA routes
   the same collective over DCN, with no code changes (the scaling-book
   recipe: mesh + shardings, let XLA place collectives).
-- ``host_local_indices()`` splits a global batch's index vector so each
-  host feeds only its addressable shard — with the device-resident
-  dataset replicated per host, every host gathers its slice locally and
-  ``jax.make_array_from_process_local_data`` assembles the global array.
+- ``make_global_batch_indices()`` assembles the globally-sharded batch
+  index vector: every host passes the full (tiny) vector and each device
+  slices out its own shard — with the device-resident dataset replicated
+  per host, the jitted step then gathers every image locally.
+  (``host_local_indices()`` remains as a contiguous-layout diagnostic
+  helper.)
 
 Single-host meshes (including the virtual 8-CPU-device test mesh) work
 through the same code path with ``process_count == 1``.
@@ -66,7 +68,14 @@ def global_mesh(axis_name: str = "data", spatial: int = 1) -> jax.sharding.Mesh:
 
 
 def host_local_indices(global_idx: np.ndarray) -> np.ndarray:
-    """This host's contiguous slice of a [global_batch] index vector."""
+    """This host's contiguous slice of a [global_batch] index vector.
+
+    ASSUMES the mesh's data axis is process-contiguous (host i owns global
+    rows [i*b/n, (i+1)*b/n)) — true for the 1-D meshes ``make_mesh`` /
+    ``global_mesh`` build and for the row-major ``(data, space)`` layout,
+    NOT for arbitrary device grids. Diagnostic/data-locality helper only;
+    batch assembly goes through ``make_global_batch_indices``, which does
+    not rely on this assumption."""
     n = jax.process_count()
     if n == 1:
         return global_idx
@@ -81,7 +90,20 @@ def host_local_indices(global_idx: np.ndarray) -> np.ndarray:
 def make_global_batch_indices(
     mesh: jax.sharding.Mesh, global_idx: np.ndarray, axis_name: str = "data"
 ) -> jax.Array:
-    """Assemble the globally-sharded index array from per-host slices."""
+    """Assemble the globally-sharded [batch] index array.
+
+    Every process passes the FULL global index vector (a tiny int array —
+    the images themselves are gathered on device from the replicated
+    dataset) and each addressable device slices out exactly its own shard
+    via ``jax.make_array_from_callback``. Correct on ANY mesh layout,
+    including meshes whose data shards span processes (e.g. a transposed
+    ``(data, space)`` mesh): a per-host contiguous-slice assembly through
+    ``make_array_from_process_local_data`` would violate that API's
+    identical-replicas contract there and silently corrupt the batch —
+    wrong global shape, divergent cross-process "replicas" — rather than
+    raise."""
     sharding = shard_batch(mesh, axis_name)
-    local = host_local_indices(np.asarray(global_idx))
-    return jax.make_array_from_process_local_data(sharding, local)
+    full = np.ascontiguousarray(np.asarray(global_idx))
+    return jax.make_array_from_callback(
+        full.shape, sharding, lambda idx: full[idx]
+    )

@@ -6,8 +6,9 @@ OS processes, each with 4 virtual CPU devices, connected through
 ``jax.distributed`` with gloo collectives over localhost TCP, and runs
 three data-parallel train steps through the exact production recipe in
 ``lvae_tpu.parallel.multihost`` (global mesh over all processes,
-replicated state/dataset as global arrays, per-host batch slices via
-``make_global_batch_indices``, XLA-inserted cross-process gradient psum).
+replicated state/dataset as global arrays, globally-sharded batch index
+assembly via ``make_global_batch_indices``, XLA-inserted cross-process
+gradient psum).
 
 No pod exists in this environment; this is the strongest available
 evidence short of one, and it exercises the real distributed runtime —
@@ -54,8 +55,9 @@ def test_two_process_data_parallel_train():
     try:
         for p in procs:
             # three legs (dp, spatial, streaming), each with its own cold
-            # compile in two processes — ~5 min total on this box
-            out, _ = p.communicate(timeout=600)
+            # compile in two processes — ~5 min alone on this box, up to
+            # ~10 under a concurrently running suite
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
             assert p.returncode == 0, f"worker failed:\n{out}"
     finally:
@@ -90,7 +92,9 @@ def test_two_process_data_parallel_train():
         assert r["spatial_mesh"] == {"data": 4, "space": 2}
     assert results[0]["elbo_spatial"] == results[1]["elbo_spatial"]
     assert math.isfinite(results[0]["elbo_spatial"])
-    assert abs(results[0]["elbo_spatial"] - results[0]["elbo"]) < 1e-2 * abs(
+    # Same batches, same seed, threefry: only fp reassociation in the
+    # differently-sharded reductions separates the two trajectories.
+    assert abs(results[0]["elbo_spatial"] - results[0]["elbo"]) < 1e-3 * abs(
         results[0]["elbo"]
     )
 

@@ -15,8 +15,9 @@ multi-host recipe from ``lvae_tpu.parallel.multihost``:
 - ``multihost.initialize`` brings up the distributed runtime,
 - ``multihost.global_mesh`` spans ALL processes' devices,
 - the replicated dataset and train state are assembled as global arrays,
-- ``multihost.make_global_batch_indices`` feeds each process only its
-  host-local slice of the global batch index vector,
+- ``multihost.make_global_batch_indices`` assembles the globally-sharded
+  batch index vector (each device slices out its own shard; the heavy
+  image gather happens on device from the replicated dataset),
 - the jitted train step's gradient psum crosses the process boundary via
   the gloo collective (on a pod: ICI/DCN, same program).
 
@@ -100,12 +101,20 @@ def main() -> None:
         state, metrics = step(state, data_g, idx_g)
         elbo = float(jax.device_get(metrics["elbo"]))
 
+    # Production spatial orientation check: global_mesh(spatial=2)'s
+    # row-major layout must keep every spatial group on ONE process (halos
+    # ride ICI within a host; only the gradient psum crosses hosts).
+    mesh_prod = multihost.global_mesh(spatial=2)
+    for row in np.asarray(mesh_prod.devices):
+        assert len({d.process_index for d in row}) == 1, row
+
     # Second leg: the same 3 steps on a 2-D (data, space) mesh whose
-    # device grid is deliberately TRANSPOSED so every spatial pair spans
-    # both processes — the conv halo exchanges (not just the gradient
-    # psum) must cross the process boundary through the gloo collective.
-    # threefry + identical seed/batches => the trajectory must agree with
-    # the data-parallel leg up to fp reassociation.
+    # device grid is deliberately TRANSPOSED (unlike the production layout
+    # above) so every spatial pair spans both processes — the conv halo
+    # exchanges (not just the gradient psum) must cross the process
+    # boundary through the gloo collective. threefry + identical
+    # seed/batches => the trajectory must agree with the data-parallel leg
+    # up to fp reassociation in the differently-sharded reductions.
     from jax.sharding import Mesh
 
     from lvae_tpu.parallel.mesh import SPATIAL_AXIS, activation_constraint
@@ -135,6 +144,16 @@ def main() -> None:
     for i in range(3):
         idx = np.arange(batch) + i * batch
         idx_g = multihost.make_global_batch_indices(mesh_sp, idx)
+        if i == 0:
+            # Guard against silent batch corruption on this non-contiguous
+            # layout (data shards span processes): the assembled array must
+            # have the GLOBAL batch shape and every addressable shard must
+            # hold exactly its global slice's values — a per-host
+            # contiguous-slice assembly here would produce global shape
+            # (batch/2,) with divergent cross-process "replicas".
+            assert idx_g.shape == idx.shape, idx_g.shape
+            for s in idx_g.addressable_shards:
+                np.testing.assert_array_equal(np.asarray(s.data), idx[s.index[0]])
         state_sp, metrics_sp = step_sp(state_sp, data_sp, idx_g)
         elbo_sp = float(jax.device_get(metrics_sp["elbo"]))
 

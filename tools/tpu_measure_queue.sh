@@ -16,7 +16,8 @@ cd "$(dirname "$0")/.."
 run() {
   local name="$1" tmo="$2"; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout "$tmo" "$@" >>"$LOG" 2>&1
+  # -k: SIGKILL 30 s after SIGTERM — a wedged tunnel call can ignore TERM
+  timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
   local rc=$?
   echo "--- $name exit=$rc ---" | tee -a "$LOG"
   return $rc
