@@ -67,9 +67,17 @@ class GrainLoader:
         self.steps_per_call = max(1, steps_per_call)
         self.n = len(array_u8)
 
-    def epochs(self) -> Iterator[np.ndarray]:
+    def epochs(self, start_step: int = 0) -> Iterator[np.ndarray]:
         """Endless stream of [B, ...] batches (or [k, B, ...] stacks),
-        reshuffled each epoch."""
+        reshuffled each epoch.
+
+        ``start_step`` fast-forwards the stream to that optimizer step
+        (one batch per step; ``[k, B]`` stacks consume k). grain's
+        MapDataset is random-access, so this is an O(1) slice of the
+        infinitely-repeated shuffled sequence, not a read-and-discard —
+        a preempted + resumed ``--streaming`` run consumes exactly the
+        batch sequence an uninterrupted run would (resume-exact data
+        order, matching the device-resident pipeline)."""
         grain = self._grain
         ds = (
             grain.MapDataset.source(self.array)
@@ -78,6 +86,14 @@ class GrainLoader:
             .repeat(None)  # endless; reshuffles per epoch
             .batch(self.batch_size, drop_remainder=True)
         )
+        if start_step:
+            if start_step % self.steps_per_call:
+                raise ValueError(
+                    f"resume step {start_step} is not a multiple of "
+                    f"steps_per_call {self.steps_per_call} — the stream "
+                    "cannot land mid-stack"
+                )
+            ds = ds[start_step:]
         it = ds.to_iter_dataset(
             grain.ReadOptions(num_threads=self.num_threads, prefetch_buffer_size=8)
         )

@@ -601,7 +601,10 @@ class Trainer:
             f"{k} steps/call, {cfg.num_data_shards} data shards", flush=True,
         )
         try:
-            for batch in loader.epochs():
+            # start_step: resume-exact fast-forward (O(1) random-access
+            # slice of the shuffled stream) — same guarantee as the
+            # device-resident index_stream
+            for batch in loader.epochs(start_step=step):
                 if step >= cfg.max_steps:
                     break
                 state, _ = step_fn(state, put(batch))

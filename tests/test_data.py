@@ -292,6 +292,28 @@ class TestStreaming:
         state = Trainer(Experiment(cfg)).run()
         assert int(state.step) == 5
 
+    def test_grain_loader_start_step_fast_forward(self, rng):
+        """epochs(start_step=s) continues the stream exactly where an
+        uninterrupted iteration would be after s batches — including
+        across the epoch reshuffle boundary (40 imgs / b8 = 5 steps per
+        epoch; s=7 lands mid-epoch-1)."""
+        from lvae_tpu.data.streaming import GrainLoader
+
+        arr = rng.integers(0, 256, (40, 4, 4, 1), np.uint8)
+        ld = GrainLoader(arr, batch_size=8, seed=3, num_threads=1)
+        full = [b.copy() for b, _ in zip(ld.epochs(), range(12))]
+        resumed = [b.copy() for b, _ in zip(ld.epochs(start_step=7), range(5))]
+        for a, b in zip(full[7:], resumed):
+            np.testing.assert_array_equal(a, b)
+
+    def test_grain_loader_start_step_must_align_with_stacks(self, rng):
+        from lvae_tpu.data.streaming import GrainLoader
+
+        arr = rng.integers(0, 256, (64, 4, 4, 1), np.uint8)
+        ld = GrainLoader(arr, batch_size=8, seed=0, steps_per_call=3)
+        with pytest.raises(ValueError, match="not a multiple"):
+            next(ld.epochs(start_step=4))
+
     def test_grain_loader_steps_per_call_stacks(self, rng):
         from lvae_tpu.data.streaming import GrainLoader
 

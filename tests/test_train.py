@@ -203,6 +203,37 @@ class TestResumeExactDataOrder:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
+    def test_streaming_resume_is_also_exact(self, tmp_path):
+        """Same guarantee on the --streaming pipeline: epochs(start_step)
+        slices grain's random-access shuffled stream, so train-to-6 ==
+        train-to-3 + resume-to-6 bitwise (512 imgs / b256 = 2 steps/epoch;
+        the resume at step 3 lands mid-epoch-1)."""
+        kw = dict(
+            batch_size=256,
+            checkpoint_interval=3,
+            dry_run=False,
+            streaming=True,
+            output_dir=str(tmp_path),
+        )
+        full = Trainer(
+            Experiment(tiny_cfg(max_steps=6, run_name="sfull", **kw))
+        ).run()
+
+        Trainer(Experiment(tiny_cfg(max_steps=3, run_name="spart", **kw))).run()
+        resumed = Trainer(
+            Experiment(
+                tiny_cfg(max_steps=6, run_name="spart", auto_resume=True, **kw)
+            )
+        ).run()
+
+        assert int(full.step) == int(resumed.step) == 6
+        for a, b in zip(
+            jax.tree_util.tree_leaves(full.params),
+            jax.tree_util.tree_leaves(resumed.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestDataDepInit:
     pytestmark = pytest.mark.slow
