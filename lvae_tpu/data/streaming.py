@@ -141,7 +141,16 @@ def make_sharded_streaming_step(model, tx, loss_cfg, mesh,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from lvae_tpu.parallel.mesh import activation_constraint, replicated
+    from lvae_tpu.parallel.mesh import (
+        activation_constraint,
+        assert_process_contiguous,
+        replicated,
+    )
+
+    # put() feeds process-LOCAL batch slices; that is only correct when
+    # each process owns one contiguous equal block of the data axis —
+    # reject layouts that would corrupt the batch silently.
+    assert_process_contiguous(mesh, axis_name)
 
     base = make_streaming_train_step(
         model, tx, loss_cfg, steps_per_call,

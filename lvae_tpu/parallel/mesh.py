@@ -89,6 +89,44 @@ def activation_constraint(
     return constrain
 
 
+def assert_process_contiguous(mesh: Mesh, axis_name: str = "data") -> None:
+    """Raise unless every index along ``axis_name`` is owned by exactly one
+    process and each process's indices form one contiguous, equal-sized
+    run — the layout per-host data feeding through
+    ``jax.make_array_from_process_local_data`` assumes. ``make_mesh`` /
+    ``global_mesh`` layouts satisfy this; a hand-built grid (e.g. one
+    transposed so spatial groups span hosts) does not, and feeding
+    process-local slices onto such a mesh corrupts the batch SILENTLY —
+    wrong global shape, divergent cross-process "replicas" — rather than
+    raising. (Index assembly via ``multihost.make_global_batch_indices``
+    is layout-agnostic and does not need this.)"""
+    grid = np.asarray(mesh.devices)
+    ax = list(mesh.axis_names).index(axis_name)
+    rows = np.moveaxis(grid, ax, 0).reshape(grid.shape[ax], -1)
+    owners = []
+    for i, row in enumerate(rows):
+        procs = {d.process_index for d in row}
+        if len(procs) != 1:
+            raise ValueError(
+                f"mesh axis '{axis_name}' index {i} spans processes "
+                f"{sorted(procs)} — per-host batch feeding requires each "
+                "data index to live on one process"
+            )
+        owners.append(procs.pop())
+    runs: list[tuple[int, int]] = []
+    for p in owners:
+        if runs and runs[-1][0] == p:
+            runs[-1] = (p, runs[-1][1] + 1)
+        else:
+            runs.append((p, 1))
+    if len({p for p, _ in runs}) != len(runs) or len({c for _, c in runs}) != 1:
+        raise ValueError(
+            f"mesh axis '{axis_name}' process ownership {owners} is not "
+            "contiguous equal blocks — per-host batch feeding would map "
+            "local slices onto the wrong global rows"
+        )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -290,6 +290,55 @@ class TestMultihost:
         np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
         assert not idx.sharding.is_fully_replicated  # sharded on data
 
+    def test_assert_process_contiguous(self, monkeypatch):
+        """make_mesh layouts pass; a transposed (data, space) grid whose
+        data rows span 'processes' is rejected (it would corrupt per-host
+        batch feeding silently)."""
+        from jax.sharding import Mesh
+
+        from lvae_tpu.parallel import multihost
+        from lvae_tpu.parallel.mesh import (
+            SPATIAL_AXIS,
+            assert_process_contiguous,
+            make_mesh,
+        )
+
+        assert_process_contiguous(make_mesh(8))
+        assert_process_contiguous(make_mesh(spatial=2))
+
+        # simulate two hosts by patching process_index on the device grid:
+        # single-process CPU devices all report process 0, so fabricate
+        # ownership via a stand-in attribute reader
+        devs = jax.devices()
+
+        class FakeDev:
+            def __init__(self, d, p):
+                self._d, self.process_index = d, p
+
+        grid = np.array(
+            [[FakeDev(devs[i], i // 4), FakeDev(devs[i + 4], (i + 4) // 4)]
+             for i in range(4)],
+            dtype=object,
+        )
+
+        class FakeMesh:
+            axis_names = ("data", SPATIAL_AXIS)
+            devices = grid
+
+        with pytest.raises(ValueError, match="spans processes"):
+            assert_process_contiguous(FakeMesh())
+
+        interleaved = np.array(
+            [FakeDev(devs[i], i % 2) for i in range(8)], dtype=object
+        ).reshape(8, 1)
+
+        class FakeMesh1D:
+            axis_names = ("data",)
+            devices = interleaved.reshape(8)
+
+        with pytest.raises(ValueError, match="not.*contiguous"):
+            assert_process_contiguous(FakeMesh1D())
+
     def test_host_local_indices_single_process(self):
         from lvae_tpu.parallel import host_local_indices
 
