@@ -82,6 +82,25 @@ def main(argv=None):
         cfg.data_dir = args.data_dir
     if args.num_data_shards is not None:
         cfg.num_data_shards = args.num_data_shards
+    else:
+        # A run trained on more devices than this host has (e.g. a pod
+        # checkpoint evaluated on one chip) must still evaluate: eval is
+        # batching-invariant (per-image keyed binarization) and the data
+        # mesh only changes reduction sharding, so clamping is safe.
+        import jax
+
+        n_dev = len(jax.devices())
+        if cfg.num_data_shards * cfg.spatial_shards > n_dev:
+            print(
+                f"note: run was trained on a {cfg.num_data_shards}x"
+                f"{cfg.spatial_shards} (data x space) mesh, only {n_dev} "
+                f"device(s) here — evaluating data-parallel over "
+                f"{min(cfg.num_data_shards, n_dev)} (same metrics; pass "
+                "--num-data-shards to override)",
+                flush=True,
+            )
+            cfg.num_data_shards = min(cfg.num_data_shards, n_dev)
+            cfg.spatial_shards = 1
     if args.fused is not None:
         cfg.fused = args.fused
 

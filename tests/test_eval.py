@@ -228,6 +228,20 @@ class TestEvaluateCLI:
         line2 = [l for l in out2.splitlines() if "test elbo" in l]
         assert line2 == elbo_line
 
+        # a run "trained on a pod" (stored num_data_shards exceeding this
+        # host's devices) must still evaluate: the mesh is clamped with a
+        # note, metrics unchanged (eval is batching-invariant)
+        import json
+
+        cfg_path = tmp_path / "r" / "config.json"
+        stored = json.loads(cfg_path.read_text())
+        stored["num_data_shards"] = 64
+        cfg_path.write_text(json.dumps(stored))
+        evaluate.main(["--load", str(tmp_path / "r")])
+        out3 = capsys.readouterr().out
+        assert "only 8 device(s) here" in out3
+        assert [l for l in out3.splitlines() if "test elbo" in l] == elbo_line
+
 
 class TestIWLLPallasImpl:
     def test_pallas_impl_matches_streaming(self):
