@@ -74,6 +74,38 @@ def device_peak_flops() -> tuple[str, float]:
     return kind, PEAK_FLOPS["cpu"]
 
 
+def assert_device_alive(timeout_s: float = 150.0) -> None:
+    """Fail fast (exit 2) if the device cannot execute a trivial readback.
+
+    The tunneled TPU runtime on this box DEGRADES BY HANGING: when it is
+    down, any dispatch+readback blocks forever in a C call no signal
+    handler can interrupt, which would wedge an unattended bench run
+    indefinitely. Probe on a daemon thread and hard-exit on timeout —
+    a missing bench result with a clear stderr line beats a hung driver."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        x = jnp.ones((256, 256))
+        float(jax.device_get(jnp.sum(x @ x)))
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench: device liveness probe (trivial matmul readback) did "
+            f"not complete within {timeout_s:.0f}s — the backend is "
+            "unreachable or wedged (tunneled TPU hard-down?); refusing to "
+            "hang. No result emitted.",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(2)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     # b256 is the throughput-optimal batch on v5e: the full-resolution maps
@@ -128,6 +160,8 @@ def main(argv=None):
             "(measured: b192 runs 27% slower than b128; RESULTS.md)",
             file=sys.stderr,
         )
+
+    assert_device_alive()
 
     from lvae_tpu.cache import enable_persistent_cache
 
