@@ -38,10 +38,19 @@ def main():
     # interpret mode): accepting any other backend name here would silently
     # test the CPU interpret path and report ALL OK without ever compiling
     # Mosaic. (This box's tunneled TPU reports backend 'tpu'.)
+    sys.path.insert(0, ".")
+    # the tunneled runtime degrades by HANGING — fail fast instead (same
+    # guard as bench.py; a dead tunnel blocks readbacks in C forever).
+    # Must run BEFORE jax.default_backend(): even backend/device
+    # enumeration hangs when the tunnel is down (observed this round),
+    # and the guard keeps the main thread off the device until the
+    # daemon-thread probe proves it alive.
+    from bench import assert_device_alive
+
+    assert_device_alive()
     if jax.default_backend() != "tpu":
         print("this is a hardware test; no TPU backend found", file=sys.stderr)
         return 2
-    sys.path.insert(0, ".")
     from lvae_tpu.kernels.stochastic_pallas import (
         fused_sample_kl,
         fused_sample_kl_per_sample,
