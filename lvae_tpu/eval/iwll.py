@@ -106,18 +106,31 @@ def evaluate_iwll(
     bs = batch_size or min(experiment.cfg.test_batch_size, experiment.test_data.n)
     base = make_iwll_step(experiment.model, cfg, n_samples, logsumexp_impl)
     mesh = getattr(experiment, "mesh", None)
+    # multi-process feeding: inputs to the sharded jit must be GLOBAL
+    # arrays, and the per-batch [B] result must come back replicated so
+    # every process can read it (a data-sharded output is not fully
+    # addressable from one host)
+    multi = mesh is not None and jax.process_count() > 1
     if mesh is not None:
         # the k=100 IW sweep is the most expensive eval in the framework —
         # shard the batch (and its index vector) over the data mesh. The
         # per-(image, sample) keys make the result device-count invariant.
-        from lvae_tpu.parallel import replicated, shard_batch
+        from lvae_tpu.parallel import make_global_sharded, replicated, shard_batch
 
         rep, sh = replicated(mesh), shard_batch(mesh)
         bs = -(-bs // mesh.devices.size) * mesh.devices.size
-        step = jax.jit(base, in_shardings=(rep, sh, sh, rep), out_shardings=sh)
+        step = jax.jit(
+            base,
+            in_shardings=(rep, sh, sh, rep),
+            out_shardings=rep if multi else sh,
+        )
     else:
         step = jax.jit(base)
-    key = jax.random.key(seed)
+    if multi:
+        key = jax.jit(lambda: jax.random.key(seed), out_shardings=rep)()
+        test_np = np.asarray(experiment.bundle.test)
+    else:
+        key = jax.random.key(seed)
     total, count = 0.0, 0
     t0 = time.perf_counter()
     for bi, idx in enumerate(experiment.test_data.sequential_indices(bs)):
@@ -126,8 +139,12 @@ def evaluate_iwll(
         n_valid = len(idx)
         if n_valid < bs:
             idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
-        jidx = jnp.asarray(idx)
-        batch = experiment.test_data.gather(jidx)
+        if multi:
+            jidx = make_global_sharded(mesh, idx)
+            batch = make_global_sharded(mesh, test_np[idx])
+        else:
+            jidx = jnp.asarray(idx)
+            batch = experiment.test_data.gather(jidx)
         ll = step(state, batch, jidx, key)
         total += float(np.asarray(ll)[:n_valid].sum())
         count += n_valid

@@ -3,6 +3,7 @@
 from lvae_tpu.parallel.mesh import (
     SPATIAL_AXIS,
     activation_constraint,
+    assert_process_contiguous,
     make_dp_eval_step,
     make_dp_train_step,
     make_mesh,
@@ -14,11 +15,14 @@ from lvae_tpu.parallel.multihost import (
     host_local_indices,
     initialize,
     make_global_batch_indices,
+    make_global_sharded,
+    replicate_to_mesh,
 )
 
 __all__ = [
     "SPATIAL_AXIS",
     "activation_constraint",
+    "assert_process_contiguous",
     "make_dp_eval_step",
     "make_dp_train_step",
     "make_mesh",
@@ -28,4 +32,6 @@ __all__ = [
     "host_local_indices",
     "initialize",
     "make_global_batch_indices",
+    "make_global_sharded",
+    "replicate_to_mesh",
 ]

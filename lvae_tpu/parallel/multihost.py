@@ -87,23 +87,72 @@ def host_local_indices(global_idx: np.ndarray) -> np.ndarray:
     return global_idx[i * per : (i + 1) * per]
 
 
-def make_global_batch_indices(
-    mesh: jax.sharding.Mesh, global_idx: np.ndarray, axis_name: str = "data"
+def make_global_sharded(
+    mesh: jax.sharding.Mesh,
+    host_array,
+    axis_name: str = "data",
+    batch_axis: int = 0,
 ) -> jax.Array:
-    """Assemble the globally-sharded [batch] index array.
+    """Globally-sharded array from a host-resident FULL array.
 
-    Every process passes the FULL global index vector (a tiny int array —
-    the images themselves are gathered on device from the replicated
-    dataset) and each addressable device slices out exactly its own shard
-    via ``jax.make_array_from_callback``. Correct on ANY mesh layout,
-    including meshes whose data shards span processes (e.g. a transposed
-    ``(data, space)`` mesh): a per-host contiguous-slice assembly through
+    Every process passes the full array and each addressable device
+    slices out exactly its own shard via ``jax.make_array_from_callback``
+    (only this process's shards are materialized on device). Correct on
+    ANY mesh layout, including meshes whose data shards span processes
+    (e.g. a transposed ``(data, space)`` mesh): a per-host
+    contiguous-slice assembly through
     ``make_array_from_process_local_data`` would violate that API's
     identical-replicas contract there and silently corrupt the batch —
     wrong global shape, divergent cross-process "replicas" — rather than
-    raise."""
-    sharding = shard_batch(mesh, axis_name)
-    full = np.ascontiguousarray(np.asarray(global_idx))
-    return jax.make_array_from_callback(
-        full.shape, sharding, lambda idx: full[idx]
-    )
+    raise. ``batch_axis=1`` shards the second axis (the [k, batch]
+    multi-step index matrix)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*([None] * batch_axis), axis_name)
+    sharding = NamedSharding(mesh, spec)
+    full = np.ascontiguousarray(np.asarray(host_array))
+    return jax.make_array_from_callback(full.shape, sharding, lambda s: full[s])
+
+
+def make_global_batch_indices(
+    mesh: jax.sharding.Mesh, global_idx: np.ndarray, axis_name: str = "data"
+) -> jax.Array:
+    """Assemble the globally-sharded [batch] index array (the images
+    themselves are gathered on device from the replicated dataset)."""
+    return make_global_sharded(mesh, global_idx, axis_name)
+
+
+def replicate_to_mesh(tree, mesh: jax.sharding.Mesh):
+    """Convert a pytree of process-local (host or single-device) arrays to
+    fully-replicated GLOBAL arrays over ``mesh``. No-op single-process.
+
+    Needed before feeding state / datasets into a jit whose ``in_shardings``
+    span processes: under ``process_count > 1`` such a jit only accepts
+    global arrays (plus genuinely host-side scalars), and every process
+    must hold identical values — which is true by construction for
+    seed-deterministic state and replicated datasets."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    # typed PRNG keys (state.rng) can't cross np.asarray — ship their raw
+    # data and re-wrap on the global side (a pure bitcast view)
+    is_key = [
+        isinstance(x, jax.Array)
+        and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+        for x in leaves
+    ]
+    impls = [jax.random.key_impl(x) if k else None
+             for x, k in zip(leaves, is_key)]
+    host = [
+        np.asarray(jax.random.key_data(x)) if k else np.asarray(x)
+        for x, k in zip(leaves, is_key)
+    ]
+    glob = multihost_utils.host_local_array_to_global_array(host, mesh, P())
+    out = [
+        jax.random.wrap_key_data(g, impl=i) if k else g
+        for g, k, i in zip(glob, is_key, impls)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -159,6 +159,14 @@ class Experiment:
                 out_shardings=rep,
                 donate_argnums=(5,),
             )
+            # multi-process feeding (see evaluate()): the carry and key
+            # must be GLOBAL arrays, so build them inside a jit pinned to
+            # the mesh (harmless single-process; jitted once here so
+            # evaluate() calls don't re-trace)
+            self._eval_init_global = jax.jit(self._eval_init, out_shardings=rep)
+            self._eval_key_global = jax.jit(
+                lambda: jax.random.key(0), out_shardings=rep
+            )
         else:
             self._eval_accum = jax.jit(accum, donate_argnums=(5,))
 
@@ -212,19 +220,35 @@ class Experiment:
             # pad+mask absorb the difference
             s = self.mesh.shape["data"]
             bs = -(-bs // s) * s
-        carry = self._eval_init()
-        key = jax.random.key(0)
+        # Multi-process: the accum jit's shardings span processes, so every
+        # array input must be GLOBAL — carry/key from the mesh-pinned jits,
+        # batch/index assembled layout-agnostically from the full host
+        # arrays (each device materializes only its own shard).
+        multi = self.mesh is not None and jax.process_count() > 1
+        if multi:
+            from lvae_tpu.parallel import make_global_sharded
+
+            carry = self._eval_init_global()
+            key = self._eval_key_global()
+            test_np = np.asarray(self.bundle.test)
+        else:
+            carry = self._eval_init()
+            key = jax.random.key(0)
         for bi, idx in enumerate(self.test_data.sequential_indices(bs)):
             if max_batches is not None and bi >= max_batches:
                 break
             n_valid = len(idx)
             if n_valid < bs:  # pad to the common shape; masked on device
                 idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
-            jidx = jnp.asarray(idx)
-            batch = self.test_data.gather(jidx)
-            carry = self._eval_accum(
-                state, batch, jidx, key, jnp.asarray(n_valid), carry,
-            )
+            if multi:
+                jidx = make_global_sharded(self.mesh, idx)
+                batch = make_global_sharded(self.mesh, test_np[idx])
+                n_dev = np.int32(n_valid)  # host scalars replicate by value
+            else:
+                jidx = jnp.asarray(idx)
+                batch = self.test_data.gather(jidx)
+                n_dev = jnp.asarray(n_valid)
+            carry = self._eval_accum(state, batch, jidx, key, n_dev, carry)
         tot = jax.device_get(carry)
         count = max(float(tot["count"]), 1.0)
         metrics = {k: float(tot[k]) / count for k in ("ll", "kl", "elbo")}
@@ -380,6 +404,14 @@ class Trainer:
             state = ckpt.restore(state)
             print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
 
+        if exp.mesh is not None and jax.process_count() > 1:
+            # multi-process jits only accept GLOBAL arrays: promote the
+            # (seed-deterministic, identical-everywhere) freshly-built or
+            # checkpoint-restored state to a fully-replicated global pytree
+            from lvae_tpu.parallel import replicate_to_mesh
+
+            state = replicate_to_mesh(state, exp.mesh)
+
         k = max(1, cfg.steps_per_call)
         if k > 1 and cfg.max_steps % k:
             # both loops check `step >= max_steps` only between k-step
@@ -462,6 +494,22 @@ class Trainer:
         def crossed(interval):
             return (step // interval) > ((step - k) // interval)
 
+        # Multi-process feeding: a jit whose in_shardings span processes
+        # only accepts GLOBAL arrays. The replicated dataset converts once
+        # (identical on every host by construction); the per-dispatch index
+        # vector assembles layout-agnostically (each device slices its own
+        # shard from the full host vector). Single-process runs keep the
+        # plain fast path — behavior is byte-identical there.
+        if exp.mesh is not None and jax.process_count() > 1:
+            from lvae_tpu.parallel import make_global_sharded, replicate_to_mesh
+
+            data = replicate_to_mesh(data, exp.mesh)
+            to_idx = lambda i: make_global_sharded(  # noqa: E731
+                exp.mesh, i, batch_axis=1 if k > 1 else 0
+            )
+        else:
+            to_idx = jnp.asarray
+
         # Bound the async dispatch queue: a cheap scalar sync every
         # _PACE dispatches. Thousands of un-awaited dispatches stall this
         # box's tunneled runtime outright (observed at ~1250 in flight),
@@ -476,7 +524,7 @@ class Trainer:
                 if profile_range and not tracing and step >= profile_range[0]:
                     jax.profiler.start_trace(os.path.join(run_dir, "trace"))
                     tracing = True
-                state, _ = train_step(state, data, jnp.asarray(idx))
+                state, _ = train_step(state, data, to_idx(idx))
                 step += k
                 steps_since_log += k
                 calls_since_sync += 1

@@ -111,3 +111,11 @@ def test_two_process_data_parallel_train():
     assert results[0]["param_sum_stream"] == results[1]["param_sum_stream"]
     assert results[0]["elbo_stream"] == results[1]["elbo_stream"]
     assert math.isfinite(results[0]["elbo_stream"])
+
+    # Evaluation leg: Experiment.evaluate + the IW-LL sweep ran their
+    # sharded jits across both processes (global batch/index assembly,
+    # mesh-pinned carry/key); SPMD => identical metrics everywhere.
+    assert results[0]["eval_elbo"] == results[1]["eval_elbo"]
+    assert results[0]["iw_ll"] == results[1]["iw_ll"]
+    assert math.isfinite(results[0]["eval_elbo"])
+    assert math.isfinite(results[0]["iw_ll"])

@@ -195,6 +195,21 @@ def main() -> None:
         )
     )
 
+    # Fourth leg: multi-process EVALUATION — Experiment.evaluate and the
+    # IW-LL sweep with their sharded jits fed global arrays (the
+    # make_global_sharded batch/index assembly and mesh-pinned carry/key).
+    # SPMD: both processes must report identical metrics.
+    import dataclasses
+
+    from lvae_tpu.eval.iwll import evaluate_iwll
+
+    exp_eval = Experiment(
+        dataclasses.replace(cfg, num_data_shards=len(jax.devices())),
+        bundle=bundle,
+    )
+    em = exp_eval.evaluate(state_st, max_batches=2)
+    iw = evaluate_iwll(exp_eval, state_st, n_samples=2, max_batches=1)
+
     print(
         "RESULT "
         + json.dumps(
@@ -210,6 +225,8 @@ def main() -> None:
                 "stream_step": int(jax.device_get(state_st.step)),
                 "stream_shard_n": loader.n,
                 "param_sum_stream": param_sum_st,
+                "eval_elbo": em["elbo"],
+                "iw_ll": iw["iw_ll"],
             }
         ),
         flush=True,
