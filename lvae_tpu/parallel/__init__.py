@@ -14,6 +14,7 @@ from lvae_tpu.parallel.multihost import (
     global_mesh,
     host_local_indices,
     initialize,
+    local_copy,
     make_global_batch_indices,
     make_global_sharded,
     replicate_to_mesh,
@@ -31,6 +32,7 @@ __all__ = [
     "global_mesh",
     "host_local_indices",
     "initialize",
+    "local_copy",
     "make_global_batch_indices",
     "make_global_sharded",
     "replicate_to_mesh",

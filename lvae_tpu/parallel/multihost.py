@@ -156,3 +156,27 @@ def replicate_to_mesh(tree, mesh: jax.sharding.Mesh):
         for g, k, i in zip(glob, is_key, impls)
     ]
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def local_copy(tree):
+    """Inverse of :func:`replicate_to_mesh` for fully-replicated trees:
+    pull each leaf's (locally addressable) replica to this process and
+    rebuild plain process-local arrays, so unsharded jits — image dumps,
+    diagnostics — can run host-locally without tripping the global-array
+    input rules. No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+
+    import jax.numpy as jnp
+
+    def _leaf(x):
+        if not isinstance(x, jax.Array):
+            return x
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            data = jax.device_get(jax.random.key_data(x))
+            return jax.random.wrap_key_data(
+                jnp.asarray(data), impl=jax.random.key_impl(x)
+            )
+        return jnp.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(_leaf, tree)

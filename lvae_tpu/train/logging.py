@@ -19,7 +19,13 @@ class MetricLogger:
     def __init__(self, run_dir: str, enable_tb: bool = True):
         self.run_dir = run_dir
         self._tb = None
-        if enable_tb:
+        # multi-host hygiene: metrics are fully replicated (SPMD), so only
+        # process 0 writes — N processes printing/TB-writing the same
+        # values would interleave consoles and race on the event files
+        import jax
+
+        self._primary = jax.process_index() == 0
+        if enable_tb and self._primary:
             try:
                 from tensorboardX import SummaryWriter
 
@@ -36,7 +42,8 @@ class MetricLogger:
         )
         if images_per_sec is not None:
             line += f"  {images_per_sec:>8.0f} img/s"
-        print(line, flush=True)
+        if self._primary:
+            print(line, flush=True)
         if self._tb is not None:
             self._tb.add_scalar("elbo/train", float(ema["elbo"]), step)
             self._tb.add_scalar("recons/train", float(ema["ll"]), step)
@@ -55,7 +62,8 @@ class MetricLogger:
         )
         if "bpd" in metrics:
             line += f"  bpd {metrics['bpd']:.4f}"
-        print(line, flush=True)
+        if self._primary:
+            print(line, flush=True)
         if self._tb is not None:
             for k, v in metrics.items():
                 if np.isscalar(v) or np.ndim(v) == 0:

@@ -260,6 +260,15 @@ class Experiment:
                     logger: Optional[MetricLogger] = None,
                     n_samples: int = 64) -> None:
         """Prior-sample and reconstruction grids (reference additional_testing)."""
+        if jax.process_count() > 1:
+            # the image jits here are unsharded: pull the replicated state
+            # process-local and let only process 0 compute + write (N
+            # hosts writing the same PNGs would collide on a shared FS)
+            from lvae_tpu.parallel import multihost
+
+            state = multihost.local_copy(state)
+            if jax.process_index() != 0:
+                return
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -383,7 +392,8 @@ class Trainer:
         logger = MetricLogger(run_dir, enable_tb=not cfg.dry_run)
         if not cfg.dry_run:
             os.makedirs(run_dir, exist_ok=True)
-            save_config(run_dir, cfg)
+            if jax.process_index() == 0:   # one writer on shared filesystems
+                save_config(run_dir, cfg)
             ckpt = CheckpointManager(run_dir, keep=cfg.keep_checkpoints)
 
         will_restore = bool(cfg.load) or (

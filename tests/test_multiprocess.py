@@ -119,3 +119,7 @@ def test_two_process_data_parallel_train():
     assert results[0]["iw_ll"] == results[1]["iw_ll"]
     assert math.isfinite(results[0]["eval_elbo"])
     assert math.isfinite(results[0]["iw_ll"])
+    # image dumps: exactly one writer (process 0)
+    by_pid = {r["pid"]: r for r in results}
+    assert by_pid[0]["wrote_images"] is True
+    assert by_pid[1]["wrote_images"] is False

@@ -210,6 +210,16 @@ def main() -> None:
     em = exp_eval.evaluate(state_st, max_batches=2)
     iw = evaluate_iwll(exp_eval, state_st, n_samples=2, max_batches=1)
 
+    # Image dumps pull the replicated state process-local; only process 0
+    # computes + writes (multi-writer PNG collisions on shared FS).
+    import tempfile
+
+    # per-process dir: on this one-box test a shared path would let
+    # process 1 observe process 0's writes and muddy the assertion
+    img_run_dir = os.path.join(tempfile.gettempdir(), f"mpimg_{port}_{pid}")
+    exp_eval.dump_images(state_st, img_run_dir, step=3, n_samples=4)
+    wrote_images = os.path.isdir(os.path.join(img_run_dir, "imgs"))
+
     print(
         "RESULT "
         + json.dumps(
@@ -227,6 +237,7 @@ def main() -> None:
                 "param_sum_stream": param_sum_st,
                 "eval_elbo": em["elbo"],
                 "iw_ll": iw["iw_ll"],
+                "wrote_images": wrote_images,
             }
         ),
         flush=True,
