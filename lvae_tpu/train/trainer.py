@@ -574,8 +574,9 @@ class Trainer:
                         # dispatch rate, not execution throughput — bench.py
                         # is the honest measurement.
                         jax.block_until_ready(state.step)
-                        print(f"[train] step {step:>7d}  (metrics deferred)  "
-                              f"{ips:>8.0f} img/s dispatched", flush=True)
+                        if jax.process_index() == 0:
+                            print(f"[train] step {step:>7d}  (metrics deferred)  "
+                                  f"{ips:>8.0f} img/s dispatched", flush=True)
                     else:
                         logger.log_train(step, ema, images_per_sec=ips)
                     t_last = time.time()
@@ -673,8 +674,9 @@ class Trainer:
                     ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
                     if cfg.defer_metrics:
                         jax.block_until_ready(state.step)
-                        print(f"[train] step {step:>7d}  (metrics deferred)  "
-                              f"{ips:>8.0f} img/s", flush=True)
+                        if jax.process_index() == 0:
+                            print(f"[train] step {step:>7d}  (metrics deferred)  "
+                                  f"{ips:>8.0f} img/s", flush=True)
                     else:
                         logger.log_train(step, jax.device_get(state.ema),
                                          images_per_sec=ips)
