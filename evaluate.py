@@ -82,6 +82,22 @@ def main(argv=None):
         cfg.data_dir = args.data_dir
     if args.num_data_shards is not None:
         cfg.num_data_shards = args.num_data_shards
+        import jax
+
+        n_dev = len(jax.devices())
+        if cfg.num_data_shards * cfg.spatial_shards > n_dev:
+            # the stored spatial axis can't coexist with the requested
+            # data axis on this host; eval never needs spatial sharding
+            # for correctness (it batch-shards only), so drop it rather
+            # than crash in make_mesh
+            print(
+                f"note: --num-data-shards {cfg.num_data_shards} with the "
+                f"run's spatial_shards={cfg.spatial_shards} needs "
+                f"{cfg.num_data_shards * cfg.spatial_shards} devices, only "
+                f"{n_dev} here — evaluating with spatial_shards=1",
+                flush=True,
+            )
+            cfg.spatial_shards = 1
     else:
         # A run trained on more devices than this host has (e.g. a pod
         # checkpoint evaluated on one chip) must still evaluate: eval is

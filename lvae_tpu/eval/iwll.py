@@ -115,10 +115,14 @@ def evaluate_iwll(
         # the k=100 IW sweep is the most expensive eval in the framework —
         # shard the batch (and its index vector) over the data mesh. The
         # per-(image, sample) keys make the result device-count invariant.
-        from lvae_tpu.parallel import make_global_sharded, replicated, shard_batch
+        from lvae_tpu.parallel import replicated, replicated_key, shard_batch
 
         rep, sh = replicated(mesh), shard_batch(mesh)
-        bs = -(-bs // mesh.devices.size) * mesh.devices.size
+        # the batch shards over the DATA axis only (eval never shards on
+        # 'space'), so round up to that axis's size — same rule as
+        # Experiment.evaluate
+        s = mesh.shape["data"]
+        bs = -(-bs // s) * s
         step = jax.jit(
             base,
             in_shardings=(rep, sh, sh, rep),
@@ -126,25 +130,14 @@ def evaluate_iwll(
         )
     else:
         step = jax.jit(base)
-    if multi:
-        key = jax.jit(lambda: jax.random.key(seed), out_shardings=rep)()
-        test_np = np.asarray(experiment.bundle.test)
-    else:
-        key = jax.random.key(seed)
+    key = replicated_key(mesh, seed) if multi else jax.random.key(seed)
+    from lvae_tpu.parallel import eval_batch_stream
+
     total, count = 0.0, 0
     t0 = time.perf_counter()
-    for bi, idx in enumerate(experiment.test_data.sequential_indices(bs)):
-        if max_batches is not None and bi >= max_batches:
-            break
-        n_valid = len(idx)
-        if n_valid < bs:
-            idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
-        if multi:
-            jidx = make_global_sharded(mesh, idx)
-            batch = make_global_sharded(mesh, test_np[idx])
-        else:
-            jidx = jnp.asarray(idx)
-            batch = experiment.test_data.gather(jidx)
+    for jidx, batch, n_valid in eval_batch_stream(
+        mesh, experiment.test_data, experiment.bundle.test, bs, max_batches
+    ):
         ll = step(state, batch, jidx, key)
         total += float(np.asarray(ll)[:n_valid].sum())
         count += n_valid

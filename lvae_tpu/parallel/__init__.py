@@ -11,6 +11,7 @@ from lvae_tpu.parallel.mesh import (
     shard_batch,
 )
 from lvae_tpu.parallel.multihost import (
+    eval_batch_stream,
     global_mesh,
     host_local_indices,
     initialize,
@@ -18,6 +19,7 @@ from lvae_tpu.parallel.multihost import (
     make_global_batch_indices,
     make_global_sharded,
     replicate_to_mesh,
+    replicated_key,
 )
 
 __all__ = [
@@ -29,6 +31,7 @@ __all__ = [
     "make_mesh",
     "replicated",
     "shard_batch",
+    "eval_batch_stream",
     "global_mesh",
     "host_local_indices",
     "initialize",
@@ -36,4 +39,5 @@ __all__ = [
     "make_global_batch_indices",
     "make_global_sharded",
     "replicate_to_mesh",
+    "replicated_key",
 ]

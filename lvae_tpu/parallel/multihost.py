@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from lvae_tpu.parallel.mesh import make_mesh, shard_batch
+from lvae_tpu.parallel.mesh import make_mesh
 
 
 def initialize(
@@ -120,6 +120,55 @@ def make_global_batch_indices(
     """Assemble the globally-sharded [batch] index array (the images
     themselves are gathered on device from the replicated dataset)."""
     return make_global_sharded(mesh, global_idx, axis_name)
+
+
+def replicated_key(mesh: jax.sharding.Mesh, seed: int = 0) -> jax.Array:
+    """PRNG key as a mesh-replicated GLOBAL array. Jits whose shardings
+    span processes reject a plain process-local key; building it inside a
+    mesh-pinned jit is the layout-agnostic way to promote it."""
+    from lvae_tpu.parallel.mesh import replicated
+
+    return jax.jit(lambda: jax.random.key(seed), out_shardings=replicated(mesh))()
+
+
+def eval_batch_stream(
+    mesh: Optional[jax.sharding.Mesh],
+    test_data,
+    bundle_test,
+    batch_size: int,
+    max_batches: Optional[int] = None,
+):
+    """Yield ``(jidx, batch, n_valid)`` for a sequential test sweep — the
+    ONE shared implementation of the eval feeding convention (used by both
+    ``Experiment.evaluate`` and ``evaluate_iwll``, which previously carried
+    drifting copies of it).
+
+    The short last batch is padded to the common compiled shape by
+    repeating its final index; callers mask with ``n_valid`` on device.
+    Under ``process_count > 1`` the index vector and the batch are
+    assembled as GLOBAL arrays via :func:`make_global_sharded` (a sharded
+    jit rejects process-local inputs); single-process keeps the
+    device-resident ``gather`` fast path.
+    """
+    import jax.numpy as jnp
+
+    multi = mesh is not None and jax.process_count() > 1
+    test_np = np.asarray(bundle_test) if multi else None
+    for bi, idx in enumerate(test_data.sequential_indices(batch_size)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        n_valid = len(idx)
+        if n_valid < batch_size:
+            idx = np.concatenate([idx, np.full(batch_size - n_valid, idx[-1])])
+        if multi:
+            yield (
+                make_global_sharded(mesh, idx),
+                make_global_sharded(mesh, test_np[idx]),
+                n_valid,
+            )
+        else:
+            jidx = jnp.asarray(idx)
+            yield jidx, test_data.gather(jidx), n_valid
 
 
 def replicate_to_mesh(tree, mesh: jax.sharding.Mesh):

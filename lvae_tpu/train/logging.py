@@ -55,6 +55,18 @@ class MetricLogger:
                 self._tb.add_scalar("perf/images_per_sec", images_per_sec, step)
         return line
 
+    def log_deferred(self, step: int, images_per_sec: float) -> None:
+        """Console-only progress line for ``--defer-metrics`` (no D2H
+        readback; the printed rate is a dispatch rate, not execution
+        throughput — bench.py is the honest measurement). Single-writer
+        like every other log method."""
+        if self._primary:
+            print(
+                f"[train] step {step:>7d}  (metrics deferred)  "
+                f"{images_per_sec:>8.0f} img/s dispatched",
+                flush=True,
+            )
+
     def log_test(self, step: int, metrics: Mapping[str, float]) -> str:
         line = (
             f"[test ] step {step:>7d}  elbo {metrics['elbo']:>10.2f}  "

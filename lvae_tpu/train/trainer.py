@@ -41,6 +41,14 @@ from lvae_tpu.train.state import (
 )
 
 
+def p0print(*args, **kwargs) -> None:
+    """Single-writer console print: process 0 only. Multi-host runs
+    otherwise interleave N copies of every banner / notice (metrics are
+    fully replicated, so all processes would print identical lines)."""
+    if jax.process_index() == 0:
+        print(*args, **kwargs)
+
+
 def resolve_fused(policy: str, likelihood: str, backend: str) -> dict:
     """Map the ``--fused`` policy string to per-kernel booleans.
 
@@ -224,30 +232,20 @@ class Experiment:
         # array input must be GLOBAL — carry/key from the mesh-pinned jits,
         # batch/index assembled layout-agnostically from the full host
         # arrays (each device materializes only its own shard).
+        from lvae_tpu.parallel import eval_batch_stream
+
         multi = self.mesh is not None and jax.process_count() > 1
         if multi:
-            from lvae_tpu.parallel import make_global_sharded
-
             carry = self._eval_init_global()
             key = self._eval_key_global()
-            test_np = np.asarray(self.bundle.test)
         else:
             carry = self._eval_init()
             key = jax.random.key(0)
-        for bi, idx in enumerate(self.test_data.sequential_indices(bs)):
-            if max_batches is not None and bi >= max_batches:
-                break
-            n_valid = len(idx)
-            if n_valid < bs:  # pad to the common shape; masked on device
-                idx = np.concatenate([idx, np.full(bs - n_valid, idx[-1])])
-            if multi:
-                jidx = make_global_sharded(self.mesh, idx)
-                batch = make_global_sharded(self.mesh, test_np[idx])
-                n_dev = np.int32(n_valid)  # host scalars replicate by value
-            else:
-                jidx = jnp.asarray(idx)
-                batch = self.test_data.gather(jidx)
-                n_dev = jnp.asarray(n_valid)
+        for jidx, batch, n_valid in eval_batch_stream(
+            self.mesh, self.test_data, self.bundle.test, bs, max_batches
+        ):
+            # host scalars replicate by value under multi-process feeding
+            n_dev = np.int32(n_valid) if multi else jnp.asarray(n_valid)
             carry = self._eval_accum(state, batch, jidx, key, n_dev, carry)
         tot = jax.device_get(carry)
         count = max(float(tot["count"]), 1.0)
@@ -261,14 +259,15 @@ class Experiment:
                     n_samples: int = 64) -> None:
         """Prior-sample and reconstruction grids (reference additional_testing)."""
         if jax.process_count() > 1:
-            # the image jits here are unsharded: pull the replicated state
-            # process-local and let only process 0 compute + write (N
-            # hosts writing the same PNGs would collide on a shared FS)
+            # the image jits here are unsharded: only process 0 computes +
+            # writes (N hosts writing the same PNGs would collide on a
+            # shared FS) — check BEFORE local_copy so the other N-1 hosts
+            # skip a full D2H transfer of the train state
+            if jax.process_index() != 0:
+                return
             from lvae_tpu.parallel import multihost
 
             state = multihost.local_copy(state)
-            if jax.process_index() != 0:
-                return
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -376,6 +375,18 @@ class Trainer:
 
     def _run_impl(self) -> TrainState:
         cfg, exp = self.cfg, self.exp
+        if jax.process_count() > 1 and exp.mesh is None:
+            # Without a mesh there is no gradient psum: every process would
+            # train its own diverging replica on its own data copy while
+            # racing on the shared checkpoint directory. (The streaming
+            # path has an equivalent guard in _run_streaming for the
+            # spatial-mesh-only case.)
+            raise ValueError(
+                f"{jax.process_count()} processes but no device mesh "
+                "(num_data_shards and spatial_shards are both 1) — pass "
+                "--num-data-shards > 1 so gradients are synchronized "
+                "across hosts"
+            )
         run_name = cfg.make_run_name()
         run_dir = os.path.join(cfg.output_dir, run_name)
 
@@ -406,13 +417,13 @@ class Trainer:
             )
             restore = CheckpointManager(load_dir, keep=cfg.keep_checkpoints)
             state = restore.restore(state)
-            print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
+            p0print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
         elif cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None:
             # failure recovery: restart with the same run name picks up the
             # latest checkpoint automatically (SURVEY.md §5 "failure
             # detection ... orbax auto-restore of latest step on startup")
             state = ckpt.restore(state)
-            print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
+            p0print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
 
         if exp.mesh is not None and jax.process_count() > 1:
             # multi-process jits only accept GLOBAL arrays: promote the
@@ -426,7 +437,7 @@ class Trainer:
         if k > 1 and cfg.max_steps % k:
             # both loops check `step >= max_steps` only between k-step
             # dispatches, so a non-multiple overshoots by up to k-1 steps
-            print(
+            p0print(
                 f"warning: max_steps {cfg.max_steps} is not a multiple of "
                 f"steps-per-call {k}; the run will stop at step "
                 f"{-(-cfg.max_steps // k) * k}", flush=True,
@@ -455,7 +466,7 @@ class Trainer:
         else:
             train_step = jax.jit(base_step, donate_argnums=(0,))
 
-        print(
+        p0print(
             f"run {run_name}: {exp.train_data.n} train / {exp.test_data.n} test "
             f"images, model {exp.model.likelihood} likelihood, "
             f"{sum(x.size for x in jax.tree_util.tree_leaves(state.params)):,} params",
@@ -574,9 +585,7 @@ class Trainer:
                         # dispatch rate, not execution throughput — bench.py
                         # is the honest measurement.
                         jax.block_until_ready(state.step)
-                        if jax.process_index() == 0:
-                            print(f"[train] step {step:>7d}  (metrics deferred)  "
-                                  f"{ips:>8.0f} img/s dispatched", flush=True)
+                        logger.log_deferred(step, ips)
                     else:
                         logger.log_train(step, ema, images_per_sec=ips)
                     t_last = time.time()
@@ -591,7 +600,7 @@ class Trainer:
                 if ckpt is not None and crossed(cfg.checkpoint_interval):
                     ckpt.save(state)
         except KeyboardInterrupt:
-            print("interrupted — saving final checkpoint", flush=True)
+            p0print("interrupted — saving final checkpoint", flush=True)
 
         if cfg.defer_metrics:
             logger.log_train(step, jax.device_get(state.ema))
@@ -655,7 +664,7 @@ class Trainer:
         step = int(state.step)
         t_last = time.time()
         steps_since_log = 0
-        print(
+        p0print(
             f"streaming pipeline (grain), batch {cfg.batch_size}, "
             f"{k} steps/call, {cfg.num_data_shards} data shards", flush=True,
         )
@@ -674,9 +683,7 @@ class Trainer:
                     ips = steps_since_log * cfg.batch_size / dt if dt > 0 else 0.0
                     if cfg.defer_metrics:
                         jax.block_until_ready(state.step)
-                        if jax.process_index() == 0:
-                            print(f"[train] step {step:>7d}  (metrics deferred)  "
-                                  f"{ips:>8.0f} img/s", flush=True)
+                        logger.log_deferred(step, ips)
                     else:
                         logger.log_train(step, jax.device_get(state.ema),
                                          images_per_sec=ips)
@@ -690,7 +697,7 @@ class Trainer:
                 ):
                     ckpt.save(state)
         except KeyboardInterrupt:
-            print("interrupted — saving final checkpoint", flush=True)
+            p0print("interrupted — saving final checkpoint", flush=True)
         if cfg.defer_metrics:
             logger.log_train(step, jax.device_get(state.ema))
         if ckpt is not None:

@@ -163,6 +163,32 @@ class TestEvalBatchingInvariance:
         b = evaluate_iwll(e2, state, n_samples=3)
         np.testing.assert_allclose(a["iw_ll"], b["iw_ll"], rtol=1e-5, atol=1e-4)
 
+    def test_iwll_rounds_batch_by_data_axis_only(self, monkeypatch):
+        """On a (data=1, space=4) mesh the batch shards only over the
+        size-1 data axis: IW-LL must not round batches up to the full
+        device count (over-padding every batch of the most expensive eval
+        in the framework — review round 3) and must match the meshless
+        result."""
+        import lvae_tpu.parallel as par
+
+        bundle = self._bundle()
+        e1 = self._exp(bundle, test_batch_size=6)
+        e2 = self._exp(bundle, test_batch_size=6, spatial_shards=4)
+        assert e2.mesh is not None and e2.mesh.shape["data"] == 1
+        state = e1.init_state()
+        a = evaluate_iwll(e1, state, n_samples=3)
+        seen = []
+        orig = par.eval_batch_stream
+        monkeypatch.setattr(
+            par, "eval_batch_stream",
+            lambda mesh, td, bt, bs, mb=None: seen.append(bs)
+            or orig(mesh, td, bt, bs, mb),
+        )
+        b = evaluate_iwll(e2, state, n_samples=3)
+        assert seen == [6]  # old code rounded to devices.size -> 8
+        assert b["n_images"] == a["n_images"] == 37
+        np.testing.assert_allclose(a["iw_ll"], b["iw_ll"], rtol=1e-5, atol=1e-4)
+
 
 class TestViz:
     def test_grid_shape_and_placement(self, rng):
@@ -241,6 +267,17 @@ class TestEvaluateCLI:
         out3 = capsys.readouterr().out
         assert "only 8 device(s) here" in out3
         assert [l for l in out3.splitlines() if "test elbo" in l] == elbo_line
+
+        # explicit --num-data-shards override on a spatially-sharded pod
+        # run: the stored spatial axis must be dropped rather than crash
+        # in make_mesh (the clamp note itself steers users to this flag)
+        stored["num_data_shards"] = 8
+        stored["spatial_shards"] = 2
+        cfg_path.write_text(json.dumps(stored))
+        evaluate.main(["--load", str(tmp_path / "r"), "--num-data-shards", "8"])
+        out4 = capsys.readouterr().out
+        assert "evaluating with spatial_shards=1" in out4
+        assert [l for l in out4.splitlines() if "test elbo" in l] == elbo_line
 
 
 class TestIWLLPallasImpl:

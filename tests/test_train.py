@@ -159,6 +159,16 @@ class TestCheckpoint:
         with pytest.raises(ValueError, match="num-data-shards"):
             Trainer(exp).run()
 
+    def test_resident_multihost_without_mesh_raises(self, monkeypatch):
+        """The device-resident path has the same hazard as streaming: N
+        processes with no mesh means no gradient psum (N diverging
+        replicas) plus a checkpoint-directory race — must refuse up front
+        rather than silently train garbage (review round 3)."""
+        exp = Experiment(tiny_cfg(max_steps=2, batch_size=16))
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="num-data-shards"):
+            Trainer(exp).run()
+
     def test_config_json_rebuilds(self, tmp_path):
         cfg = tiny_cfg(
             max_steps=2, dry_run=False, output_dir=str(tmp_path), run_name="r"
