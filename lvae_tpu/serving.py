@@ -10,7 +10,7 @@ constants) that any JAX process — same machine, a TPU server, or a CPU
 fallback host — can ``deserialize`` and ``.call(...)`` without lvae_tpu,
 flax, or orbax installed.
 
-Two surfaces per run:
+Three surfaces per run:
 
 - ``generate``: ``(seed int32[]) -> images [N, H, W, C] float32`` — the
   likelihood mean of ``sample_prior`` (reference SURVEY.md §3.3), with
@@ -23,6 +23,9 @@ Two surfaces per run:
   are batch-size invariant: image ``i``'s reconstruction and ELBO do not
   depend on what else is in the batch. The batch dimension is exported
   symbolically by default (one artifact serves any B >= 1).
+- ``encode``: ``(x uint8 [B, H, W, C], seed int32[]) -> {mu, z}`` — the
+  per-layer posterior latents (representation surface), same
+  preprocessing/keying contract as ``reconstruct``.
 
 Artifacts are exported with ``fused='none'``: Pallas kernels lower to
 backend-specific custom calls that are neither portable across platforms
@@ -115,6 +118,52 @@ def make_reconstruct_fn(model, variables: dict, preprocess: str, data_dims: int)
     return reconstruct
 
 
+def make_encode_fn(model, variables: dict, preprocess: str):
+    """``encode(batch_u8, seed) -> {mu, z}`` per-layer posterior latents.
+
+    The representation surface: ``mu`` is the posterior mean per ladder
+    layer (tuple of ``[B, H_i, W_i, z_i]``, indexed bottom-up — tuple
+    index i matches ``kl/layer_i`` and ``--zdims`` order), ``z`` a
+    reparameterized draw keyed like the eval path (per-image,
+    batch-size invariant).
+
+    Seed dependence follows the ladder's top-down inference (reference
+    models/lvae.py topdown_pass — SURVEY.md §3.3): the TOP layer's
+    ``mu`` (tuple index -1) is deterministic given the image (it is
+    conditioned only on the bottom-up pass, plus any stochastic
+    preprocessing), while lower layers' ``mu`` condition on the sampled
+    ``z`` of the layers above and therefore vary with the seed. For a
+    fully deterministic embedding use ``mu[-1]``, or the concatenation
+    of ``mu`` under a fixed seed.
+    """
+    from lvae_tpu.data.device import eval_preprocess_batch
+    from lvae_tpu.ops.stochastic import split_params
+
+    def encode(batch_u8: jnp.ndarray, seed: jnp.ndarray) -> dict:
+        b = batch_u8.shape[0]
+        idx = jnp.arange(b, dtype=jnp.int32)
+        x = eval_preprocess_batch(batch_u8, preprocess, idx)
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.key(seed), i)
+        )(idx)
+
+        def one(x_i, k_i):
+            out = model.apply(
+                variables, x_i[None], train=False, rngs={"sample": k_i}
+            )
+            mu = tuple(
+                split_params(q)[0][0].astype(jnp.float32)
+                for q in out["q_params"]
+            )
+            z = tuple(z_i[0].astype(jnp.float32) for z_i in out["z"])
+            return mu, z
+
+        mu, z = jax.vmap(one)(x, keys)
+        return {"mu": mu, "z": z}
+
+    return encode
+
+
 @dataclasses.dataclass
 class ServingArtifacts:
     """Paths written by :func:`export_run` (+ the manifest dict)."""
@@ -149,7 +198,7 @@ def _restore_for_export(run_dir: str, step: Optional[int]):
 def export_run(
     run_dir: str,
     *,
-    what: Sequence[str] = ("generate", "reconstruct"),
+    what: Sequence[str] = ("generate", "reconstruct", "encode"),
     step: Optional[int] = None,
     out_dir: Optional[str] = None,
     n_images: int = 64,
@@ -232,6 +281,30 @@ def export_run(
                   "seed int32[]",
             "out": "{out_mean float32[B,H,W,C], ll/kl/elbo/bpd float32[B]}",
             "batch": batch,
+        }
+
+    if "encode" in what:
+        fn = make_encode_fn(exp.model, variables, exp.loss_cfg.preprocess)
+        if batch is None:
+            (bdim,) = jexport.symbolic_shape("b")
+            eshape: Tuple[Any, ...] = (bdim, h, w, c)
+        else:
+            eshape = (batch, h, w, c)
+        exported = jexport.export(jax.jit(fn), platforms=plats)(
+            jax.ShapeDtypeStruct(eshape, jnp.uint8),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        p = os.path.join(out_dir, "encode.jaxexport")
+        with open(p, "wb") as f:
+            f.write(exported.serialize())
+        paths["encode"] = p
+        manifest["surfaces"]["encode"] = {
+            "in": f"x uint8[{'b' if batch is None else batch},{h},{w},{c}], "
+                  "seed int32[]",
+            "out": "{mu, z}: tuples of float32[B,H_i,W_i,z_i], indexed "
+                   "bottom-up (kl/layer_i numbering)",
+            "batch": batch,
+            "zdims": list(exp.cfg.zdims),
         }
 
     mp = os.path.join(out_dir, "manifest.json")

@@ -87,6 +87,30 @@ class TestExportRoundtrip:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_encode_surface(self, tiny_run, rng):
+        arts = export_run(tiny_run, what=("encode",))
+        art = load_artifact(arts.paths["encode"])
+        h, w, c = arts.manifest["img_shape"]
+        x = (rng.uniform(size=(2, h, w, c)) > 0.5).astype(np.uint8)
+        out = art.call(x, np.int32(3))
+        # two ladder layers, z=4 each; layer 0 = bottom (kl/layer_i order)
+        assert len(out["mu"]) == 2 and len(out["z"]) == 2
+        for mu, z in zip(out["mu"], out["z"]):
+            assert mu.shape[0] == 2 and mu.shape[-1] == 4
+            assert z.shape == mu.shape
+            assert np.isfinite(np.asarray(mu)).all()
+        # the TOP layer's mu is deterministic given the image (it sees only
+        # the bottom-up pass; the synthetic dataset's 'none' preprocessing
+        # is seed-free).  Lower layers condition on sampled z from above,
+        # so their mu legitimately varies with the seed.
+        out2 = art.call(x, np.int32(7))
+        np.testing.assert_allclose(
+            np.asarray(out["mu"][-1]), np.asarray(out2["mu"][-1]),
+            rtol=1e-6, atol=1e-6,
+        )
+        # z differs across seeds (reparameterized draw is keyed)
+        assert not np.allclose(np.asarray(out["z"][0]), np.asarray(out2["z"][0]))
+
     def test_manifest(self, tiny_run):
         arts = export_run(tiny_run, what=("generate",), n_images=2)
         with open(arts.paths["manifest"]) as f:

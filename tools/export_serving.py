@@ -27,8 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
-    p.add_argument("--what", nargs="+", default=["generate", "reconstruct"],
-                   choices=["generate", "reconstruct"])
+    p.add_argument("--what", nargs="+",
+                   default=["generate", "reconstruct", "encode"],
+                   choices=["generate", "reconstruct", "encode"])
     p.add_argument("--artifact-dir", default=None,
                    help="where to write (default: <run_dir>/serving)")
     p.add_argument("--nimages", type=int, default=64,
@@ -101,6 +102,12 @@ def main(argv=None):
             out = load_artifact(arts.paths["reconstruct"]).call(x, np.int32(0))
             print(f"check reconstruct: out_mean {out['out_mean'].shape} "
                   f"bpd[0]={float(np.asarray(out['bpd'])[0]):.4f}")
+        if "encode" in arts.paths:
+            b = args.batch or 2
+            x = np.zeros((b, h, w, c), np.uint8)
+            out = load_artifact(arts.paths["encode"]).call(x, np.int32(0))
+            shapes = [tuple(m.shape) for m in out["mu"]]
+            print(f"check encode: mu shapes {shapes}")
 
 
 if __name__ == "__main__":
