@@ -346,6 +346,7 @@ def main(argv=None):
                     "conv_pad": args.conv_pad,
                     "skip_merge": args.skip_merge,
                     "remat": args.remat,
+                    "bn_stat_samples": args.bn_stat_samples,
                 },
             }
         )
