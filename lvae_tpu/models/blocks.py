@@ -207,18 +207,29 @@ class FusedBNActSegment(nn.Module):
 
 
 class SubsampledBatchNorm(nn.Module):
-    """BatchNorm whose training statistics come from a strided batch slice.
+    """BatchNorm whose training statistics come from a leading batch slice.
 
     In a bandwidth-bound step the train-mode stats reduction is an extra
     HBM traversal of every full-resolution activation map (BN's dominant
     cost here; removing BN entirely measures +17% img/s — DESIGN.md §4).
-    Computing mean/var from ``x[::B//n]`` reads only ~n/B of those bytes;
+    Computing mean/var from ``x[:n]`` reads only ~n/B of those bytes;
     the normalize pass (and eval mode) is unchanged. This is a SEMANTIC
     DEVIATION from reference BatchNorm — noisier statistics, and gradients
     flow through the stats only for the sampled rows — so it is opt-in
-    (``--bn-stat-samples``, default 0 = exact). A *strided* slice (not a
-    leading one) keeps the subsample evenly spread across a batch-sharded
-    mesh axis instead of concentrating the stats work on shard 0.
+    (``--bn-stat-samples``, default 0 = exact). Because epoch order is
+    shuffled, a leading slice is still a uniform subsample.
+
+    The slice MUST be contiguous, and ``n`` should be a multiple of 8
+    (TPU sublane tile), measured n=16: the strided variant
+    ``x[::B//n]`` was measured at a 32% end-to-end LOSS on TPU (fusion
+    break — XLA kept the full activation in HBM plus a strided copy);
+    the contiguous prefix fuses like exact BN and measures +1.7% img/s
+    at n=16, but n=4 (sub-tile leading dim) forces padded relayouts and
+    loses 65% (DESIGN.md §4, 2026-08-18). The theoretical mesh caveat
+    (a leading global slice lives on shard 0 of a batch-sharded axis,
+    so the stats reduction concentrates there) is a second-order effect
+    next to that; semantics on a mesh are unchanged either way (GSPMD,
+    slice defined on the GLOBAL batch — trajectory equality tested).
 
     The param / batch_stats tree (``scale``/``bias``, ``mean``/``var``)
     is IDENTICAL to ``nn.BatchNorm``'s, so the same ``BatchNorm_n`` name
@@ -247,7 +258,7 @@ class SubsampledBatchNorm(nn.Module):
         else:
             b = x.shape[0]
             n = max(1, min(self.stat_samples, b))
-            xs = x[:: b // n].astype(jnp.float32)
+            xs = x[:n].astype(jnp.float32)  # contiguous — see docstring
             axes = tuple(range(xs.ndim - 1))
             mean = jnp.mean(xs, axis=axes)
             # E[x^2]-E[x]^2 can dip negative in fp32 for large-mean /

@@ -455,9 +455,11 @@ class TestSubsampledBN:
                 rtol=1e-5, atol=1e-6,
             )
 
-    def test_stats_come_from_the_strided_slice(self, rng):
+    def test_stats_come_from_the_leading_slice(self, rng):
         """With stat_samples=2 on B=8 the stats must equal a manual
-        computation over x[::4] — and differ from the full-batch stats."""
+        computation over x[:2] — and differ from the full-batch stats.
+        (Contiguous, NOT strided: the strided variant measured a 32%
+        end-to-end loss on TPU — fusion break, DESIGN.md §4.)"""
         from lvae_tpu.models.blocks import SubsampledBatchNorm
 
         x = jnp.asarray(rng.standard_normal((8, 4, 4, 8)).astype(np.float32))
@@ -465,7 +467,7 @@ class TestSubsampledBN:
         v = sbn.init(jax.random.key(0), x, use_running_average=False)
         y, mut = sbn.apply(v, x, use_running_average=False,
                            mutable=["batch_stats"])
-        xs = np.asarray(x)[::4].astype(np.float64)
+        xs = np.asarray(x)[:2].astype(np.float64)
         mean = xs.mean(axis=(0, 1, 2))
         var = (xs * xs).mean(axis=(0, 1, 2)) - mean * mean
         expect = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
