@@ -50,10 +50,11 @@ class ExperimentConfig:
     # 'post' (after upsampling — SURVEY §3.4's reading of the reference)
     skip_merge: str = "pre"
     batchnorm: bool = True
-    # >0: train-mode BN statistics from a strided slice of ~N samples
+    # >0: train-mode BN statistics from the leading N batch rows
     # instead of the full batch — an HBM-bandwidth lever (the stats pass
     # reads N/B of the bytes) that DEVIATES from reference BatchNorm
     # semantics (noisier stats). 0 (default) = exact full-batch stats.
+    # Use a multiple of 8 (sublane tile): n=16 measured +1.7%, n=4 −65%.
     bn_stat_samples: int = 0
     likelihood: Optional[str] = None      # None -> dataset default
     # loss / optimization
@@ -200,10 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference's wiring per SURVEY §3.4)")
     p.add_argument("--no-bn", action="store_true", help="disable batchnorm")
     p.add_argument("--bn-stat-samples", type=int, default=d.bn_stat_samples,
-                   help="compute train-mode BN statistics from a strided "
-                        "batch slice of ~N samples (0 = exact full-batch "
-                        "stats). Bandwidth lever; deviates from reference "
-                        "BatchNorm semantics — see DESIGN.md §4")
+                   help="compute train-mode BN statistics from the leading "
+                        "N batch rows (0 = exact full-batch stats; use a "
+                        "multiple of 8). Bandwidth lever; deviates from "
+                        "reference BatchNorm semantics — see DESIGN.md §4")
     p.add_argument("--likelihood", default=None,
                    choices=["bernoulli", "gaussian", "discretized_logistic",
                             "discretized_logistic_mix"])

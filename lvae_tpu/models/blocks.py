@@ -298,7 +298,7 @@ class ResidualBlock(nn.Module):
     dropout_rate: float = 0.0
     dropout_impl: str = "bits8"
     batchnorm: bool = True
-    bn_stat_samples: int = 0  # 0 = exact full-batch stats; >0 = strided slice
+    bn_stat_samples: int = 0  # 0 = exact full-batch stats; >0 = leading slice
     gated: bool = False
     conv_pad: str = "same"
     fused_segments: bool = False

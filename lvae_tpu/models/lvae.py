@@ -76,7 +76,7 @@ class TopDownLayer(nn.Module):
     dropout_rate: float = 0.0
     dropout_impl: str = "bits8"
     batchnorm: bool = True
-    bn_stat_samples: int = 0  # 0 = exact; >0 = strided-slice BN stats
+    bn_stat_samples: int = 0  # 0 = exact; >0 = leading-slice BN stats
     gated: bool = False
     fused: bool = False
     fused_segments: bool = False  # Pallas [d]ba segments (kernels/segment_pallas)
@@ -221,8 +221,8 @@ class LadderVAE(nn.Module):
     data_size: Tuple[int, int] = (28, 28)     # true data resolution
     likelihood: str = "bernoulli"
     batchnorm: bool = True
-    # >0: train-mode BN statistics from a strided batch slice of ~this many
-    # samples (bandwidth lever, semantic deviation — see blocks.py
+    # >0: train-mode BN statistics from the leading this-many batch rows
+    # (bandwidth lever, semantic deviation — see blocks.py
     # SubsampledBatchNorm). 0 (default): exact full-batch stats.
     bn_stat_samples: int = 0
     dropout_rate: float = 0.2
