@@ -188,6 +188,54 @@ class TestSpatialSharding:
             np.testing.assert_allclose(ref[1], res[key][1], rtol=1e-3, atol=1e-6)
 
     @pytest.mark.slow
+    @pytest.mark.parametrize(
+        "variant",
+        [
+            # torch-convention switches: explicit per-dim padding lists and
+            # the post-upsample skip merge must survive GSPMD spatial
+            # partitioning (halo exchange sizes differ under symmetric
+            # padding at stride 2)
+            pytest.param(
+                dict(conv_pad="torch", skip_merge="post", skip=True),
+                id="torch-post",
+            ),
+            # nearest/bilinear resize instead of strided/transposed convs
+            pytest.param(dict(resample_mode="interpolate"), id="interpolate"),
+            # leading-rows BN stats: a batch-dim slice whose stat reduction
+            # still spans the height-sharded axis
+            pytest.param(dict(bn_stat_samples=8), id="bn-subsample"),
+        ],
+    )
+    def test_spatial_trajectory_config_interactions(self, variant):
+        # same contract as test_trajectory_matches_single_device, for the
+        # config axes that change conv padding / resampling / BN reductions
+        # and were otherwise never combined with the (data, space) mesh.
+        from lvae_tpu.parallel import activation_constraint
+
+        res = {}
+        for n_data, spatial in ((1, 1), (2, 2)):
+            exp = tiny_exp(rng_impl="threefry", dropout=0.1, **variant)
+            state = exp.init_state()
+            mesh = make_mesh(n_data, spatial=spatial)
+            step = make_dp_train_step(
+                make_train_step(
+                    exp.model, exp.tx, exp.loss_cfg,
+                    activation_constraint(mesh),
+                ),
+                mesh,
+            )
+            for i in range(3):
+                idx = jax.device_put(jnp.arange(16) + i * 16, shard_batch(mesh))
+                state, metrics = step(state, exp.train_data.array, idx)
+            res[(n_data, spatial)] = (
+                float(metrics["elbo"]),
+                np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+            )
+        ref, sharded = res[(1, 1)], res[(2, 2)]
+        np.testing.assert_allclose(ref[0], sharded[0], rtol=1e-4)
+        np.testing.assert_allclose(ref[1], sharded[1], rtol=1e-3, atol=1e-6)
+
+    @pytest.mark.slow
     def test_trainer_with_spatial_shards(self):
         # end-to-end CLI-config path: 2 data x 2 space mesh, full Trainer.run
         exp = tiny_exp(num_data_shards=2, spatial_shards=2, max_steps=4)
