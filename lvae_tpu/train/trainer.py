@@ -49,7 +49,9 @@ def p0print(*args, **kwargs) -> None:
         print(*args, **kwargs)
 
 
-def resolve_fused(policy: str, likelihood: str, backend: str) -> dict:
+def resolve_fused(
+    policy: str, likelihood: str, backend: str, n_mesh_devices: int = 1
+) -> dict:
     """Map the ``--fused`` policy string to per-kernel booleans.
 
     ``auto`` (the default) enables exactly the kernels that measured an
@@ -61,19 +63,38 @@ def resolve_fused(policy: str, likelihood: str, backend: str) -> dict:
     spellings: ``stochastic`` / ``mixture`` / ``segments`` pick one
     kernel; ``pallas`` = stochastic+mixture (round-2 spelling, kept for
     stored run configs); ``all`` = everything.
+
+    ``n_mesh_devices``: a ``pallas_call`` is an opaque custom call to the
+    SPMD partitioner — on a >1-device mesh GSPMD cannot shard it, so its
+    operands get replicated (all-gather of full-resolution activations,
+    destroying the scaling the mesh exists for) or lowering fails
+    outright. The measured single-chip wins therefore do NOT carry over:
+    ``auto`` never picks a Pallas kernel on a mesh, and explicit
+    spellings warn (they stay honored for single-chip A/B runs whose
+    stored config is later re-run sharded).
     """
     mixture_head = likelihood == "discretized_logistic_mix"
     if policy == "auto":
         return dict(
             fused_stochastic=False,
-            fused_mixture=mixture_head and backend == "tpu",
+            fused_mixture=mixture_head and backend == "tpu"
+            and n_mesh_devices == 1,
             fused_segments=False,
         )
-    return dict(
+    resolved = dict(
         fused_stochastic=policy in ("stochastic", "pallas", "all"),
         fused_mixture=mixture_head and policy in ("mixture", "pallas", "all"),
         fused_segments=policy in ("segments", "all"),
     )
+    if n_mesh_devices > 1 and any(resolved.values()):
+        p0print(
+            f"warning: --fused {policy} on a {n_mesh_devices}-device mesh — "
+            "Pallas kernels are opaque to the SPMD partitioner, so their "
+            "operands replicate across the mesh (or lowering fails); "
+            "single-chip kernel wins do not carry over. Prefer --fused "
+            "auto/none for sharded runs."
+        )
+    return resolved
 
 
 def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
@@ -106,6 +127,7 @@ def make_model(cfg: ExperimentConfig, bundle: DatasetBundle) -> LadderVAE:
             cfg.fused,
             cfg.likelihood or bundle.default_likelihood,
             jax.default_backend(),
+            max(cfg.num_data_shards, 1) * max(cfg.spatial_shards, 1),
         ),
         dtype=dtype,
         remat=cfg.remat,

@@ -554,6 +554,29 @@ class TestFusedPolicy:
         # would ignore it anyway; keep the resolved dict honest)
         assert not resolve_fused("all", "bernoulli", "tpu")["fused_mixture"]
 
+    def test_mesh_disables_auto_and_warns_explicit(self, capsys):
+        from lvae_tpu.train.trainer import resolve_fused
+
+        # auto: a pallas_call is opaque to the SPMD partitioner, so on a
+        # >1-device mesh its operands replicate (or lowering fails) — the
+        # measured single-chip win does not carry over; never auto-enable
+        r = resolve_fused("auto", "discretized_logistic_mix", "tpu",
+                          n_mesh_devices=8)
+        assert not any(r.values())
+        r = resolve_fused("auto", "discretized_logistic_mix", "tpu",
+                          n_mesh_devices=1)
+        assert r["fused_mixture"]
+        # explicit spellings stay honored (stored single-chip configs
+        # re-run sharded) but warn about the replication cliff
+        r = resolve_fused("mixture", "discretized_logistic_mix", "tpu",
+                          n_mesh_devices=4)
+        assert r["fused_mixture"]
+        assert "opaque to the SPMD partitioner" in capsys.readouterr().out
+        # no warning when nothing resolves on ('none', or mixture w/o head)
+        resolve_fused("none", "bernoulli", "tpu", n_mesh_devices=4)
+        resolve_fused("mixture", "bernoulli", "tpu", n_mesh_devices=4)
+        assert capsys.readouterr().out == ""
+
     def test_default_config_is_auto_and_builds(self):
         from lvae_tpu.config import ExperimentConfig
         from lvae_tpu.train import Experiment
