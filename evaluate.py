@@ -137,17 +137,9 @@ def main(argv=None):
         print(f"  kl/layer_{i}: {v:.2f}")
 
     if args.ll:
-        if args.logsumexp == "pallas" and exp.mesh is not None:
-            # same rule as train.trainer.resolve_fused: a pallas_call is
-            # opaque to the SPMD partitioner, so the sharded IW step would
-            # replicate its operands (or fail to lower) on a mesh
-            print(
-                "note: --logsumexp pallas on a sharded eval mesh — "
-                "falling back to 'streaming' (Pallas kernels don't "
-                "partition; the [k, B] reduction is tiny either way)",
-                flush=True,
-            )
-            args.logsumexp = "streaming"
+        # --logsumexp pallas works on a sharded eval mesh too: the kernel
+        # is registered with the SPMD partitioner (shards over B, k
+        # replicated — kernels/logsumexp_pallas.py), no fallback needed.
         iw = evaluate_iwll(
             exp, state, n_samples=args.iw_samples, logsumexp_impl=args.logsumexp
         )

@@ -33,10 +33,7 @@ def _kernel(x_ref, out_ref):
     out_ref[:] = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
 
 
-def pallas_logsumexp(x: jnp.ndarray, block_cols: int = 512) -> jnp.ndarray:
-    """logsumexp over axis 0 of a 2-D [k, B] array -> [B]."""
-    if x.ndim != 2:
-        raise ValueError(f"expected [k, B], got shape {x.shape}")
+def _lse_impl(x: jnp.ndarray, block_cols: int) -> jnp.ndarray:
     k, b = x.shape
     nblk = pl.cdiv(b, block_cols)
     pad = nblk * block_cols - b
@@ -58,3 +55,58 @@ def pallas_logsumexp(x: jnp.ndarray, block_cols: int = 512) -> jnp.ndarray:
         interpret=_interpret(),
     )(x)
     return out[0, :b]
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: the reduction runs over axis 0 (the k importance
+# samples) independently per column, so the op shards freely over B —
+# each device reduces its local columns with zero communication — while
+# the k axis must replicate. Registered for both partitioners (Shardy
+# sharding_rule + GSPMD callbacks), same pattern as
+# kernels/mixture_pallas.py; without this the sharded IW-LL eval step
+# could not use the kernel at all (a bare pallas_call is opaque to the
+# SPMD partitioner and its operands would replicate).
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _col_spec(sharding):
+    spec = tuple(sharding.spec) + (None, None)
+    return spec[1]
+
+
+def _lse_infer(block_cols, mesh, arg_shapes, result_shape):
+    xs = arg_shapes[0].sharding
+    return NamedSharding(xs.mesh, PartitionSpec(_col_spec(xs)))
+
+
+def _lse_partition(block_cols, mesh, arg_shapes, result_shape):
+    xs = arg_shapes[0].sharding
+    col = _col_spec(xs)
+    m = xs.mesh
+    args = (NamedSharding(m, PartitionSpec(None, col)),)
+    res = NamedSharding(m, PartitionSpec(col))
+
+    def lower_fn(x):
+        return _lse_impl(x, block_cols)
+
+    return m, lower_fn, res, args
+
+
+_lse_cp = custom_partitioning(_lse_impl, static_argnums=(1,))
+_lse_cp.def_partition(
+    partition=_lse_partition,
+    infer_sharding_from_operands=_lse_infer,
+    sharding_rule="k b -> b",
+    need_replication_factors=("k",),
+)
+
+
+def pallas_logsumexp(x: jnp.ndarray, block_cols: int = 512) -> jnp.ndarray:
+    """logsumexp over axis 0 of a 2-D [k, B] array -> [B]. Shards over B
+    on any mesh (see the partitioning note above)."""
+    if x.ndim != 2:
+        raise ValueError(f"expected [k, B], got shape {x.shape}")
+    return _lse_cp(x, block_cols)

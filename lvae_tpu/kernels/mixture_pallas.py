@@ -354,18 +354,140 @@ def _run_bwd(x, params, g, k, n_bins):
     return back(dp), back(dxs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused_mix(x, params, k, n_bins):
+# ---------------------------------------------------------------------------
+# SPMD partitioning. A bare ``pallas_call`` is an opaque custom call that
+# GSPMD cannot shard — on a mesh its operands would replicate (all-gather
+# of the full-resolution activations), destroying exactly the scaling the
+# mesh exists for. But the mixture head is per-pixel elementwise: any
+# sharding of (B, H, W) is embarrassingly parallel, each device just runs
+# the kernel on its local block with zero communication. So the fwd and
+# bwd pallas wrappers are registered via ``custom_partitioning`` with an
+# elementwise sharding rule over the batch/space dims (channel and
+# parameter dims must replicate — the autoregression couples channels).
+# Works under both partitioners: the Shardy ``sharding_rule`` string and
+# the GSPMD ``infer_sharding_from_operands`` callback say the same thing.
+# The per-shard lowering re-runs the tile check on LOCAL shapes and falls
+# back to the XLA oracle when a shard is tile-unfriendly (e.g. a local
+# batch < 8), so partitioning never changes semantics.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _fwd_any(x, params, k, n_bins):
+    """Fused fwd with per-shape oracle fallback (global or per-shard)."""
+    if _dims(x, params, k) is None:
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        return discretized_logistic_mix_log_prob(
+            x.astype(jnp.float32), params.astype(jnp.float32), k, n_bins
+        )
     return _run_fwd(x, params, k, n_bins)
 
 
+def _bwd_any(x, params, g, k, n_bins):
+    """Fused bwd with per-shape oracle-VJP fallback. Returns (dparams, dx)
+    in fp32 (the custom_vjp rule casts back to the operand dtypes)."""
+    if _dims(x, params, k, bwd=True) is None:
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        _, vjp = jax.vjp(
+            lambda xx, pp: discretized_logistic_mix_log_prob(xx, pp, k, n_bins),
+            x.astype(jnp.float32),
+            params.astype(jnp.float32),
+        )
+        dx, dp = vjp(g.astype(jnp.float32))
+        return dp, dx
+    return _run_bwd(x, params, g, k, n_bins)
+
+
+def _batch_spec(*shardings):
+    """PartitionSpec entries for the (B, H, W) dims, merged across the
+    operands (specs may be shorter than the rank; a dim sharded in any
+    operand wins — they must agree dim-wise or GSPMD would have flagged
+    the graph already)."""
+    out = [None, None, None]
+    for sh in shardings:
+        spec = tuple(sh.spec) + (None,) * 3
+        for i in range(3):
+            if out[i] is None:
+                out[i] = spec[i]
+    return tuple(out)
+
+
+def _fwd_infer(k, n_bins, mesh, arg_shapes, result_shape):
+    xs = arg_shapes[0].sharding
+    return NamedSharding(xs.mesh, PartitionSpec(*_batch_spec(xs)))
+
+
+def _fwd_partition(k, n_bins, mesh, arg_shapes, result_shape):
+    xs = arg_shapes[0].sharding
+    spec = _batch_spec(xs, arg_shapes[1].sharding)
+    m = xs.mesh
+    args = (
+        NamedSharding(m, PartitionSpec(*spec, None)),
+        NamedSharding(m, PartitionSpec(*spec, None)),
+    )
+    res = NamedSharding(m, PartitionSpec(*spec))
+
+    def lower_fn(x, p):
+        return _fwd_any(x, p, k, n_bins)
+
+    return m, lower_fn, res, args
+
+
+def _bwd_infer(k, n_bins, mesh, arg_shapes, result_shape):
+    spec = _batch_spec(arg_shapes[0].sharding, arg_shapes[1].sharding)
+    m = arg_shapes[0].sharding.mesh
+    sh = NamedSharding(m, PartitionSpec(*spec, None))
+    return (sh, sh)
+
+
+def _bwd_partition(k, n_bins, mesh, arg_shapes, result_shape):
+    spec = _batch_spec(
+        arg_shapes[0].sharding, arg_shapes[1].sharding, arg_shapes[2].sharding
+    )
+    m = arg_shapes[0].sharding.mesh
+    full = NamedSharding(m, PartitionSpec(*spec, None))
+    args = (full, full, NamedSharding(m, PartitionSpec(*spec)))
+    res = (full, full)
+
+    def lower_fn(x, p, g):
+        return _bwd_any(x, p, g, k, n_bins)
+
+    return m, lower_fn, res, args
+
+
+_fwd_cp = custom_partitioning(_fwd_any, static_argnums=(2, 3))
+_fwd_cp.def_partition(
+    partition=_fwd_partition,
+    infer_sharding_from_operands=_fwd_infer,
+    sharding_rule="b h w c, b h w q -> b h w",
+    need_replication_factors=("c", "q"),
+)
+
+_bwd_cp = custom_partitioning(_bwd_any, static_argnums=(3, 4))
+_bwd_cp.def_partition(
+    partition=_bwd_partition,
+    infer_sharding_from_operands=_bwd_infer,
+    sharding_rule="b h w c, b h w q, b h w -> b h w q, b h w c",
+    need_replication_factors=("c", "q"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_mix(x, params, k, n_bins):
+    return _fwd_cp(x, params, k, n_bins)
+
+
 def _fwd_rule(x, params, k, n_bins):
-    return _run_fwd(x, params, k, n_bins), (x, params)
+    return _fwd_cp(x, params, k, n_bins), (x, params)
 
 
 def _bwd_rule(k, n_bins, res, g):
     x, params = res
-    dparams, dx = _run_bwd(x, params, g, k, n_bins)
+    dparams, dx = _bwd_cp(x, params, g, k, n_bins)
     return dx.astype(x.dtype), dparams.astype(params.dtype)
 
 

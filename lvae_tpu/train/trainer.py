@@ -64,21 +64,27 @@ def resolve_fused(
     kernel; ``pallas`` = stochastic+mixture (round-2 spelling, kept for
     stored run configs); ``all`` = everything.
 
-    ``n_mesh_devices``: a ``pallas_call`` is an opaque custom call to the
-    SPMD partitioner — on a >1-device mesh GSPMD cannot shard it, so its
-    operands get replicated (all-gather of full-resolution activations,
-    destroying the scaling the mesh exists for) or lowering fails
-    outright. The measured single-chip wins therefore do NOT carry over:
-    ``auto`` never picks a Pallas kernel on a mesh, and explicit
-    spellings warn (they stay honored for single-chip A/B runs whose
-    stored config is later re-run sharded).
+    ``n_mesh_devices``: the mixture kernel is registered with the SPMD
+    partitioner (``custom_partitioning`` elementwise-over-(B,H,W) rule,
+    kernels/mixture_pallas.py), so it shards on any mesh with zero extra
+    communication and ``auto`` enables it mesh or not. The stochastic and
+    segment kernels remain bare ``pallas_call``s — opaque custom calls
+    GSPMD cannot shard, so their operands would replicate (all-gather of
+    full-resolution activations) or lowering fails. Explicit spellings
+    that pick those two on a mesh warn but stay honored (for single-chip
+    A/B runs whose stored config is later re-run sharded).
+
+    NOTE: callers must clamp ``num_data_shards`` / ``spatial_shards`` to
+    the devices actually available BEFORE constructing the Experiment
+    (evaluate.py does) — the count here is taken from the config, not
+    from a built mesh, so an unclamped config would warn about a mesh
+    that never materializes.
     """
     mixture_head = likelihood == "discretized_logistic_mix"
     if policy == "auto":
         return dict(
             fused_stochastic=False,
-            fused_mixture=mixture_head and backend == "tpu"
-            and n_mesh_devices == 1,
+            fused_mixture=mixture_head and backend == "tpu",
             fused_segments=False,
         )
     resolved = dict(
@@ -86,13 +92,16 @@ def resolve_fused(
         fused_mixture=mixture_head and policy in ("mixture", "pallas", "all"),
         fused_segments=policy in ("segments", "all"),
     )
-    if n_mesh_devices > 1 and any(resolved.values()):
+    if n_mesh_devices > 1 and (
+        resolved["fused_stochastic"] or resolved["fused_segments"]
+    ):
         p0print(
-            f"warning: --fused {policy} on a {n_mesh_devices}-device mesh — "
-            "Pallas kernels are opaque to the SPMD partitioner, so their "
-            "operands replicate across the mesh (or lowering fails); "
-            "single-chip kernel wins do not carry over. Prefer --fused "
-            "auto/none for sharded runs."
+            f"warning: --fused {policy} enables the stochastic/segment "
+            f"Pallas kernels on a {n_mesh_devices}-device mesh — those are "
+            "opaque to the SPMD partitioner, so their operands replicate "
+            "across the mesh (or lowering fails); single-chip wins do not "
+            "carry over. (The mixture kernel is mesh-safe.) Prefer --fused "
+            "auto/mixture/none for sharded runs."
         )
     return resolved
 

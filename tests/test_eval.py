@@ -254,15 +254,16 @@ class TestEvaluateCLI:
         line2 = [l for l in out2.splitlines() if "test elbo" in l]
         assert line2 == elbo_line
 
-        # --logsumexp pallas on a sharded eval mesh: falls back to
-        # 'streaming' with a note (pallas_call is opaque to the SPMD
-        # partitioner — same rule as resolve_fused)
+        # --logsumexp pallas on a sharded eval mesh: the kernel is
+        # registered with the SPMD partitioner (shards over B, k
+        # replicated — kernels/logsumexp_pallas.py) so it runs sharded,
+        # no fallback
         evaluate.main([
             "--load", str(tmp_path / "r"), "--ll", "--iw-samples", "2",
             "--logsumexp", "pallas", "--num-data-shards", "2",
         ])
         outp = capsys.readouterr().out
-        assert "falling back to 'streaming'" in outp
+        assert "falling back" not in outp
         assert "IW log-likelihood" in outp
 
         # a run "trained on a pod" (stored num_data_shards exceeding this

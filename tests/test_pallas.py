@@ -545,3 +545,168 @@ class TestFusedMixtureLogProb:
         np.testing.assert_allclose(
             np.asarray(g_fused), np.asarray(g_ref), rtol=2e-4, atol=2e-4
         )
+
+
+class TestShardedKernels:
+    """The mixture and logsumexp kernels are registered with the SPMD
+    partitioner (custom_partitioning elementwise rules) so they shard over
+    any mesh — each device runs the kernel on its local block with zero
+    communication (VERDICT r3 next #1). Runs on the virtual 8-device CPU
+    mesh from conftest; kernels execute in interpret mode per shard."""
+
+    def _data(self, rng, b=64, h=8, w=8, k=10):
+        x = jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+        x = jnp.round(x * 255.0) / 255.0
+        p = jnp.asarray(rng.normal(size=(b, h, w, k * 10)).astype(np.float32))
+        return x, p
+
+    def _meshes(self):
+        from lvae_tpu.parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        for mesh, spec in (
+            (make_mesh(8), P("data")),
+            (make_mesh(4, spatial=2), P("data", "space")),
+        ):
+            yield mesh, NamedSharding(mesh, spec)
+
+    def test_mixture_fwd_sharded_matches_oracle(self, rng, monkeypatch):
+        from lvae_tpu.kernels import mixture_pallas
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        want = np.asarray(discretized_logistic_mix_log_prob(x, p))
+        # prove the per-shard lowering takes the KERNEL path (local shapes
+        # tile-friendly: b_local=8 or 16, hw_local=32 or 64), not the
+        # oracle fallback
+        kernel_calls = []
+        orig = mixture_pallas._run_fwd
+        monkeypatch.setattr(
+            mixture_pallas, "_run_fwd",
+            lambda *a: (kernel_calls.append(1), orig(*a))[1],
+        )
+        for mesh, sh in self._meshes():
+            kernel_calls.clear()
+            f = jax.jit(mixture_pallas.fused_mix_log_prob, in_shardings=(sh, sh))
+            got = f(jax.device_put(x, sh), jax.device_put(p, sh))
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+            assert kernel_calls, f"kernel path not taken on {mesh.shape}"
+
+    def test_mixture_fwd_no_allgather(self, rng):
+        # the whole point: sharded operands must NOT replicate around the
+        # custom call (that all-gather is the scaling cliff the
+        # partitioning rule exists to avoid)
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+
+        x, p = self._data(rng)
+        for mesh, sh in self._meshes():
+            f = jax.jit(fused_mix_log_prob, in_shardings=(sh, sh))
+            hlo = f.lower(
+                jax.device_put(x, sh), jax.device_put(p, sh)
+            ).compile().as_text()
+            assert "all-gather" not in hlo, f"operands replicate on {mesh.shape}"
+
+    def test_mixture_grads_sharded_match_oracle(self, rng):
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        x = jnp.clip(x, 16 / 255.0, 239 / 255.0)
+        gcot = jnp.asarray(rng.standard_normal(x.shape[:3]).astype(np.float32))
+        want_p = np.asarray(jax.grad(
+            lambda pp: jnp.sum(discretized_logistic_mix_log_prob(x, pp) * gcot)
+        )(p))
+        want_x = np.asarray(jax.grad(
+            lambda xx: jnp.sum(discretized_logistic_mix_log_prob(xx, p) * gcot)
+        )(x))
+        for mesh, sh in self._meshes():
+            g = jax.jit(
+                jax.grad(
+                    lambda xx, pp: jnp.sum(fused_mix_log_prob(xx, pp) * gcot),
+                    argnums=(0, 1),
+                ),
+                in_shardings=(sh, sh),
+            )
+            got_x, got_p = g(jax.device_put(x, sh), jax.device_put(p, sh))
+            np.testing.assert_allclose(
+                np.asarray(got_p), want_p, rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_x), want_x, rtol=2e-4, atol=2e-4
+            )
+
+    def test_mixture_tiny_local_shard_falls_back(self, rng):
+        # global batch 8 over 8 devices -> local batch 1, tile-unfriendly:
+        # the per-shard lowering must fall back to the XLA oracle on the
+        # LOCAL block rather than mis-tile or crash
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+        from lvae_tpu.parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x, p = self._data(rng, b=8)
+        sh = NamedSharding(make_mesh(8), P("data"))
+        f = jax.jit(fused_mix_log_prob, in_shardings=(sh, sh))
+        got = f(jax.device_put(x, sh), jax.device_put(p, sh))
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(discretized_logistic_mix_log_prob(x, p)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_logsumexp_sharded_matches_jax(self, rng):
+        from lvae_tpu.kernels import pallas_logsumexp
+        from lvae_tpu.parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jnp.asarray(rng.standard_normal((7, 64)).astype(np.float32)) * 10
+        # fully -inf column survives sharding too
+        x = x.at[:, 11].set(-jnp.inf)
+        want = np.asarray(jax.nn.logsumexp(x, axis=0))
+        sh = NamedSharding(make_mesh(8), P(None, "data"))
+        f = jax.jit(pallas_logsumexp, in_shardings=(sh,))
+        got = np.asarray(f(jax.device_put(x, sh)))
+        np.testing.assert_allclose(got[:11], want[:11], rtol=1e-5)
+        assert got[11] == -np.inf
+        np.testing.assert_allclose(got[12:], want[12:], rtol=1e-5)
+
+
+@pytest.mark.slow
+class TestShardedMixtureTrajectory:
+    """1-vs-8-device training trajectory equality WITH the fused mixture
+    kernel enabled (the --fused auto behavior on a mesh after VERDICT r3
+    next #1): sharding the kernel must not change training semantics."""
+
+    def test_trajectory_matches_single_device(self):
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.parallel import make_mesh, shard_batch
+        from lvae_tpu.train import Experiment, make_train_step
+        from lvae_tpu.parallel import make_dp_train_step
+
+        res = {}
+        for n in (1, 8):
+            exp = Experiment(ExperimentConfig(
+                dataset="synthetic_rgb", zdims=(4, 4), downsample=(1, 1),
+                blocks_per_layer=1, n_filters=8, batch_size=64,
+                dropout=0.0, max_steps=3, seed=0, dry_run=True,
+                rng_impl="threefry", fused="mixture",
+                likelihood="discretized_logistic_mix",
+            ))
+            assert exp.model.fused_mixture  # explicit spelling, mesh-safe
+            state = exp.init_state()
+            mesh = make_mesh(n)
+            step = make_dp_train_step(
+                make_train_step(exp.model, exp.tx, exp.loss_cfg), mesh
+            )
+            for i in range(3):
+                idx = jax.device_put(
+                    jnp.arange(64) + i * 64, shard_batch(mesh)
+                )
+                state, metrics = step(state, exp.train_data.array, idx)
+            res[n] = (
+                float(metrics["elbo"]),
+                np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+            )
+        assert np.isfinite(res[1][0])
+        np.testing.assert_allclose(res[1][0], res[8][0], rtol=1e-4)
+        np.testing.assert_allclose(res[1][1], res[8][1], rtol=1e-3, atol=1e-6)

@@ -554,25 +554,31 @@ class TestFusedPolicy:
         # would ignore it anyway; keep the resolved dict honest)
         assert not resolve_fused("all", "bernoulli", "tpu")["fused_mixture"]
 
-    def test_mesh_disables_auto_and_warns_explicit(self, capsys):
+    def test_mesh_policy(self, capsys):
         from lvae_tpu.train.trainer import resolve_fused
 
-        # auto: a pallas_call is opaque to the SPMD partitioner, so on a
-        # >1-device mesh its operands replicate (or lowering fails) — the
-        # measured single-chip win does not carry over; never auto-enable
+        # the mixture kernel is registered with the SPMD partitioner
+        # (custom_partitioning, kernels/mixture_pallas.py) so auto enables
+        # it on any mesh size — the +3.6% single-chip win carries over
         r = resolve_fused("auto", "discretized_logistic_mix", "tpu",
                           n_mesh_devices=8)
-        assert not any(r.values())
+        assert r["fused_mixture"]
+        assert not r["fused_stochastic"] and not r["fused_segments"]
         r = resolve_fused("auto", "discretized_logistic_mix", "tpu",
                           n_mesh_devices=1)
         assert r["fused_mixture"]
-        # explicit spellings stay honored (stored single-chip configs
-        # re-run sharded) but warn about the replication cliff
+        # explicit mixture spelling on a mesh: mesh-safe, no warning
         r = resolve_fused("mixture", "discretized_logistic_mix", "tpu",
                           n_mesh_devices=4)
         assert r["fused_mixture"]
+        assert capsys.readouterr().out == ""
+        # stochastic/segment kernels remain bare pallas_calls (opaque to
+        # the partitioner): explicit spellings stay honored but warn
+        r = resolve_fused("all", "discretized_logistic_mix", "tpu",
+                          n_mesh_devices=4)
+        assert all(r.values())
         assert "opaque to the SPMD partitioner" in capsys.readouterr().out
-        # no warning when nothing resolves on ('none', or mixture w/o head)
+        # no warning when nothing opaque resolves on
         resolve_fused("none", "bernoulli", "tpu", n_mesh_devices=4)
         resolve_fused("mixture", "bernoulli", "tpu", n_mesh_devices=4)
         assert capsys.readouterr().out == ""
