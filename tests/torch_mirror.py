@@ -341,13 +341,121 @@ class BernoulliLikelihoodT(nn.Module):
         return ll, logits
 
 
+def _log_cdf_diff_t(minus_in, delta):
+    """torch mirror of ops.likelihoods._log_cdf_diff: exact,
+    cancellation-free log(sigmoid(a + delta) - sigmoid(a))."""
+    plus_in = minus_in + delta
+    return (
+        plus_in
+        + torch.log(-torch.expm1(-delta))
+        - F.softplus(minus_in)
+        - F.softplus(plus_in)
+    )
+
+
+class DiscretizedLogisticLikelihoodT(nn.Module):
+    """torch mirror of models.likelihoods.DiscretizedLogisticLikelihood
+    (256-bin CDF difference with edge-bin handling; same cancellation-free
+    interior identity as ops.likelihoods.discretized_logistic_log_prob)."""
+
+    def __init__(self, c_features: int, color_ch: int, n_bins: int = 256):
+        super().__init__()
+        self.param_conv = SameConv2d(c_features, 2 * color_ch, 1)
+        self.n_bins = n_bins
+
+    def forward(self, h, x):
+        p = self.param_conv(h)
+        mean, log_scale = torch.chunk(p, 2, dim=1)
+        log_scale = torch.clamp(log_scale, min=-7.0)
+        ll = None
+        if x is not None:
+            nb = self.n_bins
+            inv_scale = torch.exp(-log_scale)
+            half_bin = 1.0 / (2.0 * (nb - 1))
+            plus_in = inv_scale * (x + half_bin - mean)
+            minus_in = inv_scale * (x - half_bin - mean)
+            delta = (2.0 * half_bin) * inv_scale
+            log_interior = _log_cdf_diff_t(minus_in, delta)
+            log_left = F.logsigmoid(plus_in)
+            log_right = F.logsigmoid(-minus_in)
+            lo = 0.5 / (nb - 1)
+            hi = 1.0 - 0.5 / (nb - 1)
+            ll = torch.where(
+                x < lo, log_left, torch.where(x > hi, log_right, log_interior)
+            )
+        return ll, p
+
+
+class DiscretizedLogisticMixLikelihoodT(nn.Module):
+    """torch mirror of models.likelihoods.DiscretizedLogisticMixLikelihood
+    (PixelCNN++-style mixture, linear channel autoregression; channel
+    layout [pi (K)] ++ [means (KC)] ++ [log_scales (KC)] ++ [coeffs (KC)]
+    with component-major/channel-minor (k, c) sub-layout, matching
+    ops.likelihoods.discretized_logistic_mix_log_prob)."""
+
+    def __init__(self, c_features: int, color_ch: int,
+                 n_components: int = 10, n_bins: int = 256):
+        super().__init__()
+        self.param_conv = SameConv2d(
+            c_features, n_components * (1 + 3 * color_ch), 1
+        )
+        self.color_ch = color_ch
+        self.k = n_components
+        self.n_bins = n_bins
+
+    def forward(self, h, x):
+        p = self.param_conv(h)
+        ll = None
+        if x is not None:
+            b, c, hh, ww = x.shape
+            k = self.k
+            logit_pi = p[:, :k]
+            means = p[:, k : k + k * c].view(b, k, c, hh, ww)
+            log_scales = torch.clamp(
+                p[:, k + k * c : k + 2 * k * c].view(b, k, c, hh, ww),
+                min=-7.0,
+            )
+            coeffs = torch.tanh(
+                p[:, k + 2 * k * c : k + 3 * k * c].view(b, k, c, hh, ww)
+            )
+            xs = (2.0 * x - 1.0).unsqueeze(1)  # [B,1,C,H,W] broadcast over K
+            if c == 3:
+                m0 = means[:, :, 0]
+                m1 = means[:, :, 1] + coeffs[:, :, 0] * xs[:, :, 0]
+                m2 = (means[:, :, 2] + coeffs[:, :, 1] * xs[:, :, 0]
+                      + coeffs[:, :, 2] * xs[:, :, 1])
+                means = torch.stack([m0, m1, m2], dim=2)
+            centered = xs - means
+            inv_s = torch.exp(-log_scales)
+            half_bin = 1.0 / (self.n_bins - 1)
+            plus_in = inv_s * (centered + half_bin)
+            minus_in = inv_s * (centered - half_bin)
+            delta = (2.0 * half_bin) * inv_s
+            log_interior = _log_cdf_diff_t(minus_in, delta)
+            log_left = F.logsigmoid(plus_in)
+            log_right = F.logsigmoid(-minus_in)
+            xb = xs.expand_as(means)
+            lp = torch.where(
+                xb < -1.0 + half_bin,
+                log_left,
+                torch.where(xb > 1.0 - half_bin, log_right, log_interior),
+            )
+            log_probs_k = lp.sum(dim=2) + F.log_softmax(logit_pi, dim=1)
+            ll_pixel = torch.logsumexp(log_probs_k, dim=1)  # [B,H,W]
+            # per-element map like the flax head: per-pixel / C per channel
+            ll = ll_pixel.unsqueeze(1).expand(-1, c, -1, -1) / c
+        return ll, p
+
+
 class LadderVAET(nn.Module):
     """Torch mirror of lvae_tpu.models.lvae.LadderVAE (NCHW).
 
     Latent sampling is deterministic: per-layer ``eps`` (or ``forced_z``)
     tensors are passed to ``forward`` so the jax and torch models compute
-    identical ELBOs / gradients. Bernoulli likelihood only (the other
-    heads have unit-level torch-oracle parity tests already).
+    identical ELBOs / gradients. All three deterministic-ll likelihood
+    heads are mirrored (bernoulli, discretized_logistic,
+    discretized_logistic_mix — VERDICT r3 next #4); the Gaussian head is
+    covered by unit-level torch-oracle parity in tests/test_likelihoods.py.
     """
 
     def __init__(self, color_ch: int, z_dims=(4, 4), blocks_per_layer: int = 1,
@@ -358,7 +466,7 @@ class LadderVAET(nn.Module):
                  dropout_rate: float = 0.0, nonlin: str = "elu",
                  res_block_type: str = "bacdbacd", merge_type: str = "residual",
                  no_initial_downscaling: bool = False, conv_pad: str = "same",
-                 skip_merge_mode: str = "pre"):
+                 skip_merge_mode: str = "pre", likelihood: str = "bernoulli"):
         super().__init__()
         self.n_layers = len(z_dims)
         self.img_size, self.data_size = img_size, data_size
@@ -405,7 +513,18 @@ class LadderVAET(nn.Module):
         setattr(self, f"final_blocks_{nf}",
                 ResidualBlockT(n_filters, gated=gated, **block_kw))
         self.n_final = nf + 1
-        self.likelihood_head = BernoulliLikelihoodT(n_filters, color_ch)
+        if likelihood == "bernoulli":
+            self.likelihood_head = BernoulliLikelihoodT(n_filters, color_ch)
+        elif likelihood == "discretized_logistic":
+            self.likelihood_head = DiscretizedLogisticLikelihoodT(
+                n_filters, color_ch
+            )
+        elif likelihood == "discretized_logistic_mix":
+            self.likelihood_head = DiscretizedLogisticMixLikelihoodT(
+                n_filters, color_ch
+            )
+        else:
+            raise ValueError(f"unmirrored likelihood {likelihood!r}")
 
     def forward(self, x, eps=None, forced_z=None):
         """x: [B, C, h, w] in [0,1]. eps / forced_z: per-layer lists (bottom
@@ -442,6 +561,44 @@ class LadderVAET(nn.Module):
         ll_sample = ll.sum(dim=(1, 2, 3))
         kl_sep = torch.stack([k.sum(dim=(1, 2, 3)) for k in kls])  # [L, B]
         return {"ll": ll_sample, "kl_sep": kl_sep, "logits": logits}
+
+
+def data_dependent_init_torch(
+    tmodel: nn.Module, conv_paths, x: torch.Tensor,
+    max_gain: float = 10.0, eps: float = 1e-6, n_iter: int = 1,
+) -> None:
+    """torch mirror of lvae_tpu.train.init.data_dependent_init: walk the
+    convolutions in execution order (``conv_paths``, flax path tuples —
+    the same list the jax side derives, resolved here via the shared
+    attribute naming); for each, run a fresh forward, rescale that conv's
+    kernel by 1/std and shift its bias by -mean/std per OUTPUT channel
+    (std clipped to [1/max_gain, max_gain], biased estimator, matching
+    jnp.std). The model must be deterministic for numerics parity (z =
+    mu: forward with eps=None; dropout off)."""
+    tmodel.train()
+    for _ in range(n_iter):
+        for path in conv_paths:
+            mod = _resolve(tmodel, path)
+            captured = {}
+            handle = mod.register_forward_hook(
+                lambda m, i, o: captured.__setitem__("out", o)
+            )
+            with torch.no_grad():
+                tmodel(x)
+                handle.remove()
+                out = captured["out"]
+                dims = tuple(d for d in range(out.ndim) if d != 1)
+                mean = out.mean(dim=dims)
+                std = torch.clamp(
+                    out.std(dim=dims, unbiased=False), 1.0 / max_gain, max_gain
+                ) + eps
+                # out-channel axis: dim 0 for conv [out,in,kh,kw], dim 1
+                # for transposed [in,out,kh,kw]
+                if isinstance(mod, SameConvTranspose2d):
+                    mod.weight.div_(std[None, :, None, None])
+                else:
+                    mod.weight.div_(std[:, None, None, None])
+                mod.bias.copy_((mod.bias - mean) / std)
 
 
 # ---------------------------------------------------------------------------
