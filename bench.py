@@ -135,9 +135,10 @@ def main(argv=None):
     p.add_argument("--conv-pad", default="same", choices=["same", "torch"])
     p.add_argument("--skip-merge", default="pre", choices=["pre", "post"])
     p.add_argument("--bn-stat-samples", type=int, default=0,
-                   help="BN stats from a strided batch slice of ~N samples "
+                   help="BN stats from the CONTIGUOUS leading N batch rows "
                         "(0 = exact full-batch stats) — bandwidth lever, "
-                        "semantic deviation; see DESIGN.md §4")
+                        "semantic deviation; use a multiple of 8 (sublane "
+                        "tile: n=4 measured a 65%% LOSS); see DESIGN.md §4")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=8)
     p.add_argument("--smoke", action="store_true")

@@ -243,6 +243,20 @@ class SubsampledBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
 
+    def __post_init__(self):
+        super().__post_init__()
+        if self.stat_samples > 0 and self.stat_samples % 8 != 0:
+            import warnings
+
+            # warnings dedups by call site, so this fires once per process
+            warnings.warn(
+                f"bn_stat_samples={self.stat_samples} is not a multiple of "
+                "8 (TPU sublane tile): sub-tile leading dims force padded "
+                "relayouts — n=4 measured a 65% end-to-end LOSS vs exact "
+                "BN (DESIGN.md §4). Use n>=8, multiple of 8.",
+                stacklevel=2,
+            )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (self.channels,))

@@ -18,14 +18,20 @@ Three surfaces per run:
   diagnostics baked in.
 - ``reconstruct``: ``(x uint8 [B, H, W, C], seed int32[]) ->
   {out_mean, ll, kl, elbo, bpd}`` — eval-convention preprocessing
-  (per-image keyed binarization / bin-center dequantization, exactly
-  evaluate.py's convention) and a per-image vmapped forward, so outputs
-  are batch-size invariant: image ``i``'s reconstruction and ELBO do not
-  depend on what else is in the batch. The batch dimension is exported
-  symbolically by default (one artifact serves any B >= 1).
+  (per-image keyed binarization / bin-center dequantization, the same
+  mechanism as evaluate.py) and a per-image vmapped forward. Keying
+  contract: outputs are keyed by (seed, BATCH POSITION) — evaluate.py
+  keys by global dataset index, which the artifact cannot know — so
+  image ``i``'s outputs are invariant to appending/removing images
+  after it (batch-size invariant, tested) but NOT to permuting the
+  batch: the same image at a different position gets a different
+  binarization/latent draw. Callers needing stable per-image outputs
+  should present images at stable positions (or fix B=1). The batch
+  dimension is exported symbolically by default (one artifact serves
+  any B >= 1).
 - ``encode``: ``(x uint8 [B, H, W, C], seed int32[]) -> {mu, z}`` — the
   per-layer posterior latents (representation surface), same
-  preprocessing/keying contract as ``reconstruct``.
+  preprocessing/keying contract as ``reconstruct`` (position-keyed).
 
 Artifacts are exported with ``fused='none'``: Pallas kernels lower to
 backend-specific custom calls that are neither portable across platforms
@@ -82,9 +88,12 @@ def make_generate_fn(
 
 
 def make_reconstruct_fn(model, variables: dict, preprocess: str, data_dims: int):
-    """``reconstruct(batch_u8, seed) -> dict`` with batch-size-invariant
-    per-image outputs (same keying contract as the eval path:
-    train.state.per_image_forward / data.device.eval_preprocess_batch)."""
+    """``reconstruct(batch_u8, seed) -> dict`` with per-image outputs keyed
+    by (seed, batch position) — prefix-append batch-size invariant, NOT
+    permutation invariant (module docstring "Keying contract"; mechanism
+    shared with train.state.per_image_forward /
+    data.device.eval_preprocess_batch, which key by global dataset
+    index)."""
     from lvae_tpu.data.device import eval_preprocess_batch
 
     def reconstruct(batch_u8: jnp.ndarray, seed: jnp.ndarray) -> dict:
@@ -281,6 +290,8 @@ def export_run(
                   "seed int32[]",
             "out": "{out_mean float32[B,H,W,C], ll/kl/elbo/bpd float32[B]}",
             "batch": batch,
+            "keying": "(seed, batch position): prefix-append invariant, "
+                      "not permutation invariant",
         }
 
     if "encode" in what:
@@ -305,6 +316,8 @@ def export_run(
                    "bottom-up (kl/layer_i numbering)",
             "batch": batch,
             "zdims": list(exp.cfg.zdims),
+            "keying": "(seed, batch position): prefix-append invariant, "
+                      "not permutation invariant",
         }
 
     mp = os.path.join(out_dir, "manifest.json")
