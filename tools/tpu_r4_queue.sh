@@ -1,0 +1,85 @@
+#!/usr/bin/env bash
+# Round-4 serial TPU measurement backlog — run when the axon tunnel is
+# healthy (same probe-first, timeout-bounded pattern as
+# tpu_measure_queue.sh; tunnel is single-tenant, one process at a time).
+#
+# Queue (VERDICT r3 "next round" items):
+#  2. literal README architecture (--blocks-per-layer 4) bench  [item 2]
+#  3. trace profile at the b256 flagship config to answer the bench's own
+#     1.37x byte-ceiling warning                                [item 3]
+#  A. celeba64 fused auto-vs-none A/B: the +3.6% mixture-kernel win must
+#     survive the round-4 custom_partitioning wrapper           [item 1 check]
+#  7. bn-stat-samples 16 quality A/B, 3 seeds x 3k steps        [item 7]
+#
+# Usage: bash tools/tpu_r4_queue.sh [logfile]
+set -u
+LOG="${1:-/tmp/tpu_r4_queue.log}"
+cd "$(dirname "$0")/.."
+
+run() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+  timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
+  local rc=$?
+  echo "--- $name exit=$rc ---" | tee -a "$LOG"
+  return $rc
+}
+
+probe() {
+  run probe 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print('probe value', float(jax.device_get(jnp.sum(x @ x))))
+print('device', jax.devices())"
+}
+
+if ! probe; then
+  echo "TUNNEL DOWN — aborting queue (see $LOG)" | tee -a "$LOG"
+  exit 1
+fi
+
+# Baseline of record first (also proves the partitioning rework did not
+# perturb the single-chip flagship number).
+run bench_default 1200 python bench.py --verbose
+
+# VERDICT #2: the verbatim README command's model (4 blocks/layer).
+run bench_blocks4 1500 python bench.py --blocks-per-layer 4 --verbose
+
+# Wrapper A/B: custom_partitioning must not cost the measured mixture win.
+run bench_celeba_auto 1500 python bench.py --preset celeba64 --verbose
+run bench_celeba_none 1500 python bench.py --preset celeba64 --fused none --verbose
+
+# VERDICT #3: trace-based device-busy accounting at the exact headline
+# configuration (mnist preset, b256, fused auto).
+run profile_b256 1500 python tools/profile_step.py --top 40
+
+# VERDICT #7: bn16 quality A/B — flagship architecture on the
+# static_mnist fixture files, 3 seeds x {exact BN, n=16}, 3k steps each,
+# test ELBO via evaluate.py. (Fixture pixels: demonstrates no quality
+# collapse at flagship scale; real-data A/B still blocked by the mount.)
+FIXDIR=/tmp/r4_fixtures
+AB_OUT=/tmp/r4_bn_ab
+mkdir -p "$AB_OUT"
+if [ ! -d "$FIXDIR/static_mnist" ]; then
+  run make_fixtures 600 python tools/make_fixtures.py --data-dir "$FIXDIR" --n 4096
+fi
+for seed in 0 1 2; do
+  for bn in 0 16; do
+    name="bn${bn}_s${seed}"
+    if ! probe; then echo "TUNNEL DOWN mid-A/B at $name" | tee -a "$LOG"; exit 1; fi
+    run "train_$name" 1800 python main.py \
+      --dataset static_mnist --data-dir "$FIXDIR" \
+      --zdims 32 32 32 --downsample 1 1 1 --nonlin elu --skip \
+      --blocks-per-layer 2 --gated --freebits 0.5 --learn-top-prior \
+      --batch-size 256 --steps-per-call 8 --max-steps 3000 \
+      --beta-anneal 500 --test-interval 100000 --log-interval 500 \
+      --bn-stat-samples "$bn" --seed "$seed" \
+      --output-dir "$AB_OUT/$name"
+    rundir=$(ls -d "$AB_OUT/$name"/*/ 2>/dev/null | head -1)
+    if [ -n "$rundir" ]; then
+      run "eval_$name" 900 python evaluate.py --load "$rundir"
+    fi
+  done
+done
+
+echo "R4 QUEUE DRAINED — results in $LOG" | tee -a "$LOG"
