@@ -220,6 +220,42 @@ def main() -> None:
     exp_eval.dump_images(state_st, img_run_dir, step=3, n_samples=4)
     wrote_images = os.path.isdir(os.path.join(img_run_dir, "imgs"))
 
+    # Fifth leg: the SPMD-partitioned mixture Pallas kernel
+    # (custom_partitioning, kernels/mixture_pallas.py) under REAL
+    # multi-process GSPMD — the batch shards across both processes'
+    # devices, each runs the kernel on its local block (tile-friendly:
+    # 8 rows/device), and the replicated output must match the
+    # locally-computed XLA oracle on every process.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+    from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+    rng5 = np.random.default_rng(5)
+    bk = 8 * len(jax.devices())
+    xk = np.round(
+        rng5.uniform(size=(bk, 8, 8, 3)) * 255.0
+    ).astype(np.float32) / 255.0
+    pk = rng5.normal(size=(bk, 8, 8, 100)).astype(np.float32)
+    shd = NamedSharding(mesh, PartitionSpec("data"))
+    per = bk // nproc
+    xg = jax.make_array_from_process_local_data(
+        shd, xk[pid * per : (pid + 1) * per]
+    )
+    pg = jax.make_array_from_process_local_data(
+        shd, pk[pid * per : (pid + 1) * per]
+    )
+    mix_out = jax.jit(
+        fused_mix_log_prob, in_shardings=(shd, shd), out_shardings=rep
+    )(xg, pg)
+    mix_want = discretized_logistic_mix_log_prob(
+        jnp.asarray(xk), jnp.asarray(pk)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(mix_out)), np.asarray(mix_want),
+        rtol=1e-5, atol=1e-5,
+    )
+
     print(
         "RESULT "
         + json.dumps(
@@ -238,6 +274,7 @@ def main() -> None:
                 "eval_elbo": em["elbo"],
                 "iw_ll": iw["iw_ll"],
                 "wrote_images": wrote_images,
+                "mixture_sharded_ok": True,
             }
         ),
         flush=True,

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
-# Round-4 serial TPU measurement backlog — run when the axon tunnel is
-# healthy (same probe-first, timeout-bounded pattern as
-# tpu_measure_queue.sh; tunnel is single-tenant, one process at a time).
+# Round-4 serial TPU measurement backlog — tolerant of the axon tunnel's
+# minutes-scale oscillation: every leg retries up to $TRIES times with a
+# pause between attempts, and completed legs drop a marker in $DONE_DIR so
+# a re-run of the whole script skips them (safe to loop until drained).
+# Tunnel is single-tenant: strictly one TPU process at a time.
 #
 # Queue (VERDICT r3 "next round" items):
 #  2. literal README architecture (--blocks-per-layer 4) bench  [item 2]
@@ -14,29 +16,30 @@
 # Usage: bash tools/tpu_r4_queue.sh [logfile]
 set -u
 LOG="${1:-/tmp/tpu_r4_queue.log}"
+DONE_DIR=/tmp/tpu_r4_done
+TRIES=4
+PAUSE=180
+mkdir -p "$DONE_DIR"
 cd "$(dirname "$0")/.."
 
 run() {
+  # run <name> <timeout> <cmd...>: retry across tunnel flaps; marker on ok
   local name="$1" tmo="$2"; shift 2
-  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
-  local rc=$?
-  echo "--- $name exit=$rc ---" | tee -a "$LOG"
+  if [ -e "$DONE_DIR/$name" ]; then
+    echo "=== $name: already done, skipping ===" | tee -a "$LOG"
+    return 0
+  fi
+  local rc=1
+  for attempt in $(seq 1 "$TRIES"); do
+    echo "=== $name attempt $attempt ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+    timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
+    rc=$?
+    echo "--- $name attempt $attempt exit=$rc ---" | tee -a "$LOG"
+    [ $rc -eq 0 ] && { touch "$DONE_DIR/$name"; return 0; }
+    [ "$attempt" -lt "$TRIES" ] && sleep "$PAUSE"
+  done
   return $rc
 }
-
-probe() {
-  run probe 180 python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((256, 256))
-print('probe value', float(jax.device_get(jnp.sum(x @ x))))
-print('device', jax.devices())"
-}
-
-if ! probe; then
-  echo "TUNNEL DOWN — aborting queue (see $LOG)" | tee -a "$LOG"
-  exit 1
-fi
 
 # Baseline of record first (also proves the partitioning rework did not
 # perturb the single-chip flagship number).
@@ -66,7 +69,8 @@ fi
 for seed in 0 1 2; do
   for bn in 0 16; do
     name="bn${bn}_s${seed}"
-    if ! probe; then echo "TUNNEL DOWN mid-A/B at $name" | tee -a "$LOG"; exit 1; fi
+    # a retried training leg restarts its run dir clean
+    [ -e "$DONE_DIR/train_$name" ] || rm -rf "$AB_OUT/$name"
     run "train_$name" 1800 python main.py \
       --dataset static_mnist --data-dir "$FIXDIR" \
       --zdims 32 32 32 --downsample 1 1 1 --nonlin elu --skip \
@@ -82,4 +86,16 @@ for seed in 0 1 2; do
   done
 done
 
-echo "R4 QUEUE DRAINED — results in $LOG" | tee -a "$LOG"
+missing=0
+for m in bench_default bench_blocks4 bench_celeba_auto bench_celeba_none \
+         profile_b256 train_bn0_s0 eval_bn0_s0 train_bn16_s0 eval_bn16_s0 \
+         train_bn0_s1 eval_bn0_s1 train_bn16_s1 eval_bn16_s1 \
+         train_bn0_s2 eval_bn0_s2 train_bn16_s2 eval_bn16_s2; do
+  [ -e "$DONE_DIR/$m" ] || { echo "MISSING: $m" | tee -a "$LOG"; missing=1; }
+done
+if [ $missing -eq 0 ]; then
+  echo "R4 QUEUE FULLY DRAINED — results in $LOG" | tee -a "$LOG"
+else
+  echo "R4 QUEUE INCOMPLETE — re-run to retry missing legs" | tee -a "$LOG"
+  exit 1
+fi
