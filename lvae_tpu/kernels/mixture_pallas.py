@@ -417,8 +417,13 @@ def _batch_spec(*shardings):
 
 
 def _fwd_infer(k, n_bins, mesh, arg_shapes, result_shape):
-    xs = arg_shapes[0].sharding
-    return NamedSharding(xs.mesh, PartitionSpec(*_batch_spec(xs)))
+    # Merge BOTH operands (exactly as _fwd_partition does): params is the
+    # conv output, the side most likely to carry a sharding — inferring
+    # from x alone would propose a replicated result for a replicated-x/
+    # sharded-params call and GSPMD would materialize it with an
+    # all-gather, re-introducing the replication cost this rule avoids.
+    spec = _batch_spec(arg_shapes[0].sharding, arg_shapes[1].sharding)
+    return NamedSharding(arg_shapes[0].sharding.mesh, PartitionSpec(*spec))
 
 
 def _fwd_partition(k, n_bins, mesh, arg_shapes, result_shape):
@@ -438,7 +443,9 @@ def _fwd_partition(k, n_bins, mesh, arg_shapes, result_shape):
 
 
 def _bwd_infer(k, n_bins, mesh, arg_shapes, result_shape):
-    spec = _batch_spec(arg_shapes[0].sharding, arg_shapes[1].sharding)
+    spec = _batch_spec(
+        arg_shapes[0].sharding, arg_shapes[1].sharding, arg_shapes[2].sharding
+    )
     m = arg_shapes[0].sharding.mesh
     sh = NamedSharding(m, PartitionSpec(*spec, None))
     return (sh, sh)

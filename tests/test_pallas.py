@@ -606,6 +606,32 @@ class TestShardedKernels:
             ).compile().as_text()
             assert "all-gather" not in hlo, f"operands replicate on {mesh.shape}"
 
+    def test_mixture_infer_follows_params_when_x_replicated(self, rng):
+        # _fwd_infer must merge BOTH operands: params is the conv output —
+        # the side that actually carries a sharding in the training graph —
+        # so a replicated-x/sharded-params call must propose a
+        # batch-sharded result (inferring from x alone would replicate the
+        # result and GSPMD would all-gather to materialize it).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        want = np.asarray(discretized_logistic_mix_log_prob(x, p))
+        for mesh, sh in self._meshes():
+            rep = NamedSharding(mesh, P())
+            f = jax.jit(fused_mix_log_prob, in_shardings=(rep, sh))
+            lowered = f.lower(jax.device_put(x, rep), jax.device_put(p, sh))
+            hlo = lowered.compile().as_text()
+            assert "all-gather" not in hlo, (
+                f"result replicates on {mesh.shape} when only params sharded"
+            )
+            got = f(jax.device_put(x, rep), jax.device_put(p, sh))
+            assert not got.sharding.is_fully_replicated, (
+                "inferred output sharding ignored the params operand"
+            )
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
     def test_mixture_grads_sharded_match_oracle(self, rng):
         from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
         from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob

@@ -17,8 +17,11 @@
 set -u
 LOG="${1:-/tmp/tpu_r4_queue.log}"
 DONE_DIR=/tmp/tpu_r4_done
-TRIES=4
-PAUSE=180
+# Observed wedge windows run ~19 min (probe hangs after back-to-back heavy
+# legs, then the tunnel recovers); 6 tries x (150s probe + 300s pause)
+# outlasts one full window.
+TRIES=6
+PAUSE=300
 mkdir -p "$DONE_DIR"
 cd "$(dirname "$0")/.."
 
@@ -41,7 +44,11 @@ run() {
   return $rc
 }
 
-# Baseline of record first (also proves the partitioning rework did not
+# Hardware kernel battery first — the partitioning rework touched the
+# mixture/logsumexp kernels, so re-validate all 24 on-chip checks.
+run hw_tests 1800 python tools/tpu_hw_tests.py
+
+# Baseline of record (also proves the partitioning rework did not
 # perturb the single-chip flagship number).
 run bench_default 1200 python bench.py --verbose
 
@@ -63,25 +70,31 @@ run profile_b256 1500 python tools/profile_step.py --top 40
 FIXDIR=/tmp/r4_fixtures
 AB_OUT=/tmp/r4_bn_ab
 mkdir -p "$AB_OUT"
-if [ ! -d "$FIXDIR/static_mnist" ]; then
-  run make_fixtures 600 python tools/make_fixtures.py --data-dir "$FIXDIR" --n 4096
-fi
+# Gate on the done-marker, not directory existence: an aborted
+# make_fixtures leaves a partial dir that would otherwise never be retried.
+run make_fixtures 600 python tools/make_fixtures.py --data-dir "$FIXDIR" --n 4096
 for seed in 0 1 2; do
   for bn in 0 16; do
     name="bn${bn}_s${seed}"
-    # a retried training leg restarts its run dir clean
-    [ -e "$DONE_DIR/train_$name" ] || rm -rf "$AB_OUT/$name"
-    run "train_$name" 1800 python main.py \
-      --dataset static_mnist --data-dir "$FIXDIR" \
+    # The rm -rf lives INSIDE the retried command so every attempt (not
+    # just the first script invocation) starts its run dir clean — run()'s
+    # internal retries would otherwise accumulate partial timestamped dirs.
+    run "train_$name" 1800 bash -c "rm -rf '$AB_OUT/$name' && python main.py \
+      --dataset static_mnist --data-dir '$FIXDIR' \
       --zdims 32 32 32 --downsample 1 1 1 --nonlin elu --skip \
       --blocks-per-layer 2 --gated --freebits 0.5 --learn-top-prior \
       --batch-size 256 --steps-per-call 8 --max-steps 3000 \
       --beta-anneal 500 --test-interval 100000 --log-interval 500 \
-      --bn-stat-samples "$bn" --seed "$seed" \
-      --output-dir "$AB_OUT/$name"
-    rundir=$(ls -d "$AB_OUT/$name"/*/ 2>/dev/null | head -1)
-    if [ -n "$rundir" ]; then
-      run "eval_$name" 900 python evaluate.py --load "$rundir"
+      --bn-stat-samples $bn --seed $seed \
+      --output-dir '$AB_OUT/$name'"
+    # Evaluate only a SUCCESSFUL training leg (the marker), and pick the
+    # NEWEST run dir (-t): a partial dir from a failed earlier attempt
+    # must never be the one measured.
+    if [ -e "$DONE_DIR/train_$name" ]; then
+      rundir=$(ls -dt "$AB_OUT/$name"/*/ 2>/dev/null | head -1)
+      if [ -n "$rundir" ]; then
+        run "eval_$name" 900 python evaluate.py --load "$rundir"
+      fi
     fi
   done
 done
