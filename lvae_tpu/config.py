@@ -77,7 +77,13 @@ class ExperimentConfig:
     precision: str = "fp32"               # 'fp32' | 'bf16' (conv compute dtype)
     remat: bool = False                   # rematerialize res blocks (fit bigger batches)
     steps_per_call: int = 1               # train steps fused per dispatch (lax.scan)
-    streaming: bool = False               # grain host pipeline instead of HBM-resident data
+    streaming: bool = False               # host pipeline instead of HBM-resident data
+    # 'array' = per-epoch permutation + one batched gather per dispatch
+    # (host can't bind: ~3.6M img/s); 'grain' = grain MapDataset worker
+    # threads (per-item overhead caps ~10k img/s under load; for
+    # disk-bound per-record sources). Shuffle orders differ between the
+    # two, so resume uses the impl stored in the run's config.json.
+    stream_impl: str = "array"            # 'array' | 'grain'
     # Pallas kernel policy (resolved per-kernel by train.trainer.resolve_fused):
     # 'auto' = measured winners only (mixture-head kernel on TPU);
     # 'stochastic' / 'mixture' / 'segments' = one kernel; 'pallas' =
@@ -237,7 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps-per-call", type=int, default=d.steps_per_call,
                    help="train steps fused into one dispatch (amortizes host overhead)")
     p.add_argument("--streaming", action="store_true",
-                   help="stream batches from host via grain instead of HBM-resident data")
+                   help="stream batches from the host instead of HBM-resident data")
+    p.add_argument("--stream-impl", default=d.stream_impl,
+                   choices=["array", "grain"],
+                   help="streaming backend: 'array' (permutation + batched "
+                        "gather; host never binds) or 'grain' (worker "
+                        "threads; for disk-bound per-record sources)")
     p.add_argument("--num-data-shards", type=int, default=d.num_data_shards)
     p.add_argument("--spatial-shards", type=int, default=d.spatial_shards,
                    help="shard activations along image height over a second "
@@ -322,6 +333,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         remat=args.remat,
         steps_per_call=args.steps_per_call,
         streaming=args.streaming,
+        stream_impl=args.stream_impl,
         fused=args.fused,
         num_data_shards=args.num_data_shards,
         spatial_shards=args.spatial_shards,

@@ -1,12 +1,30 @@
-"""Streaming (grain-backed) input pipeline — the non-device-resident path.
+"""Streaming input pipeline — the non-device-resident path.
 
 The device-resident pipeline (lvae_tpu.data.device) is the default and the
 fast path: every dataset the reference supports fits in HBM. This module
 covers the general case the reference handled with DataLoader worker
 processes (SURVEY.md §2.4): datasets larger than HBM, or environments
-where host RAM should hold the data instead. Built on `grain` MapDataset
-(shuffle + batch + prefetch worker threads); preprocessing still happens
+where host RAM should hold the data instead. Preprocessing still happens
 on device inside the jitted step — the stream carries raw uint8.
+
+Two backends (``--stream-impl``):
+
+- ``array`` (default, :class:`ArrayLoader`): per-epoch permutation + one
+  batched numpy gather per dispatch. For RAM- or memmap-backed sources
+  the gather is ~70 us per b256 stack (measured 3.6M img/s on this host
+  vs grain's 32k — DESIGN.md §4), so the host can never be the
+  bottleneck; no worker threads needed or used.
+- ``grain`` (:class:`GrainLoader`): grain MapDataset with shuffle +
+  batch + prefetch worker threads. Per-ITEM Python overhead caps it at
+  ~10k img/s under training load (measured, RESULTS.md round 3) — keep
+  it for genuinely disk-bound per-record sources where grain's thread
+  pool hides IO latency.
+
+Both are deterministic per (seed, epoch) and resume-exact: a preempted +
+resumed ``--streaming`` run consumes exactly the batch sequence an
+uninterrupted run would. Their shuffle ORDERS differ (grain's shuffle vs
+numpy Philox), so checkpoints resume under the impl recorded in their
+config.json, same as every other stored flag.
 
 Composes with the rest of the trainer (VERDICT r1 item 5):
 - ``--steps-per-call k``: the loader stacks k batches into one
@@ -25,6 +43,83 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+
+
+class ArrayLoader:
+    """Permutation + batched-gather stream over an in-memory/memmapped array.
+
+    The fast streaming backend (``--stream-impl array``, the default):
+    each epoch draws one deterministic permutation
+    (``np.random.default_rng([seed, epoch])`` — Philox, platform-stable)
+    and every dispatch is ONE fancy-index gather of its k x B rows, so the
+    per-batch host cost is a memcpy, not a per-item Python loop. Within an
+    epoch each image appears at most once; the ``n % B`` remainder is
+    dropped PER EPOCH (torch ``DataLoader(shuffle=True, drop_last=True)``
+    semantics — the convention the reference trains under, SURVEY.md §2.4),
+    unlike GrainLoader whose repeat-then-batch stream straddles epoch
+    boundaries.
+
+    Same API and contracts as :class:`GrainLoader`: deterministic per
+    (seed, epoch); ``epochs(start_step)`` is an O(1) fast-forward (the
+    epoch permutation is recomputed from its seed, nothing is read and
+    discarded) so resume is exact; ``shard_index``/``shard_count``
+    restrict to the per-host strided slice with per-shard shuffles.
+    """
+
+    def __init__(
+        self,
+        array_u8: np.ndarray,
+        batch_size: int,
+        seed: int = 0,
+        num_threads: int = 0,  # accepted for API parity; no threads used
+        steps_per_call: int = 1,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        if shard_count > 1:
+            array_u8 = array_u8[shard_index::shard_count]
+        if batch_size > len(array_u8):
+            raise ValueError(
+                f"per-shard batch {batch_size} exceeds the shard's "
+                f"{len(array_u8)} images"
+            )
+        self.array = array_u8
+        self.batch_size = batch_size
+        # different shards must draw different shuffles
+        self.seed = seed + shard_index
+        self.steps_per_call = max(1, steps_per_call)
+        self.n = len(array_u8)
+
+    def _perm(self, epoch: int) -> np.ndarray:
+        return np.random.default_rng([self.seed, epoch]).permutation(self.n)
+
+    def epochs(self, start_step: int = 0) -> Iterator[np.ndarray]:
+        """Endless stream of [B, ...] batches (or [k, B, ...] stacks),
+        reshuffled each epoch; ``start_step`` fast-forwards to that
+        optimizer step in O(1)."""
+        k = self.steps_per_call
+        if start_step % k:
+            raise ValueError(
+                f"resume step {start_step} is not a multiple of "
+                f"steps_per_call {k} — the stream cannot land mid-stack"
+            )
+        b = self.batch_size
+        bpe = self.n // b  # batches per epoch (per-epoch drop-remainder)
+        g = start_step  # global batch index: one batch per optimizer step
+        perm_epoch, perm = -1, None
+        idx = np.empty((k, b), dtype=np.int64)
+        while True:
+            # a k-stack may straddle an epoch boundary; index each of its
+            # batches in its own epoch's permutation
+            for j in range(k):
+                epoch, i = divmod(g + j, bpe)
+                if epoch != perm_epoch:
+                    perm, perm_epoch = self._perm(epoch), epoch
+                idx[j] = perm[i * b:(i + 1) * b]
+            batch = self.array[idx.ravel()]
+            batch = batch.reshape((k, b) + self.array.shape[1:])
+            yield batch[0] if k == 1 else batch
+            g += k
 
 
 class GrainLoader:

@@ -642,18 +642,32 @@ class Trainer:
         return state
 
     def _run_streaming(self, state, run_dir, logger, ckpt):
-        """Grain host-pipeline loop (``--streaming``): batches stream from
-        host worker threads; preprocessing still runs on device in the
-        jitted step. For datasets too large for HBM residency. Composes
+        """Host-pipeline loop (``--streaming``): batches stream from the
+        host; preprocessing still runs on device in the jitted step. For
+        datasets too large for HBM residency. Backend per
+        ``--stream-impl``: 'array' (default; permutation + batched gather,
+        host never binds) or 'grain' (worker threads, for disk-bound
+        per-record sources) — data/streaming.py module docstring. Composes
         with ``--steps-per-call`` (k-batch stacks under lax.scan) and
         ``--num-data-shards`` (batch sharded over the data mesh, each
         host's pipeline reading its process-strided dataset slice)."""
         cfg, exp = self.cfg, self.exp
         from lvae_tpu.data.streaming import (
+            ArrayLoader,
             GrainLoader,
             make_sharded_streaming_step,
             make_streaming_train_step,
         )
+
+        try:
+            loader_cls = {"array": ArrayLoader, "grain": GrainLoader}[
+                cfg.stream_impl
+            ]
+        except KeyError:
+            raise ValueError(
+                f"unknown stream_impl {cfg.stream_impl!r} "
+                "(expected 'array' or 'grain')"
+            ) from None
 
         k = max(1, cfg.steps_per_call)
         n_proc = jax.process_count()
@@ -684,7 +698,7 @@ class Trainer:
                 donate_argnums=(0,),
             )
             put = jnp.asarray
-        loader = GrainLoader(
+        loader = loader_cls(
             np.asarray(exp.bundle.train),
             cfg.batch_size // n_proc,
             seed=cfg.seed,
@@ -696,7 +710,7 @@ class Trainer:
         t_last = time.time()
         steps_since_log = 0
         p0print(
-            f"streaming pipeline (grain), batch {cfg.batch_size}, "
+            f"streaming pipeline ({cfg.stream_impl}), batch {cfg.batch_size}, "
             f"{k} steps/call, {cfg.num_data_shards} data shards", flush=True,
         )
         try:

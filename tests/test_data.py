@@ -357,6 +357,125 @@ class TestStreaming:
         assert np.isfinite(float(jax.device_get(state.ema["elbo"])))
 
 
+class TestArrayLoader:
+    """The default streaming backend (--stream-impl array): per-epoch
+    permutation + one batched gather per dispatch. Same contracts as
+    GrainLoader (determinism, O(1) resume fast-forward, stack alignment,
+    host sharding) plus the per-epoch drop-remainder / coverage semantics
+    it documents (torch DataLoader(shuffle=True, drop_last=True))."""
+
+    def test_batches(self, rng):
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = rng.integers(0, 256, (40, 4, 4, 1), np.uint8)
+        it = ArrayLoader(arr, batch_size=16, seed=0).epochs()
+        b = next(it)
+        assert b.shape == (16, 4, 4, 1) and b.dtype == np.uint8
+
+    def test_epoch_coverage_and_reshuffle(self, rng):
+        """Within one epoch each image appears at most once (per-epoch
+        drop-remainder); consecutive epochs draw different orders but the
+        same multiset."""
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = np.arange(40, dtype=np.uint8).reshape(40, 1, 1, 1)
+        it = ArrayLoader(arr, batch_size=8, seed=0).epochs()
+        epochs = []
+        for _ in range(2):  # bpe = 5
+            vals = np.concatenate([next(it).ravel() for _ in range(5)])
+            assert len(set(vals.tolist())) == 40  # no repeats in-epoch
+            epochs.append(vals)
+        assert not np.array_equal(epochs[0], epochs[1])  # reshuffled
+        assert set(epochs[0].tolist()) == set(epochs[1].tolist())
+
+    def test_start_step_fast_forward(self, rng):
+        """epochs(start_step=s) continues exactly where an uninterrupted
+        iteration would be after s batches — including across the epoch
+        boundary (bpe=5 here, so step 7 is mid-epoch-2)."""
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = rng.integers(0, 256, (40, 4, 4, 1), np.uint8)
+        ld = ArrayLoader(arr, batch_size=8, seed=3)
+        full = [b.copy() for b, _ in zip(ld.epochs(), range(12))]
+        resumed = [b.copy() for b, _ in zip(ld.epochs(start_step=7), range(5))]
+        for a, b in zip(full[7:], resumed):
+            np.testing.assert_array_equal(a, b)
+
+    def test_start_step_must_align_with_stacks(self, rng):
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = rng.integers(0, 256, (64, 4, 4, 1), np.uint8)
+        ld = ArrayLoader(arr, batch_size=8, seed=0, steps_per_call=3)
+        with pytest.raises(ValueError, match="not a multiple"):
+            next(ld.epochs(start_step=4))
+
+    def test_steps_per_call_stacks_and_straddle(self, rng):
+        """[k, B] stacks; a stack straddling an epoch boundary (bpe=5,
+        k=3: stack 2 holds batches 3,4 of epoch 0 and batch 0 of epoch 1)
+        matches the flat k=1 stream batch-for-batch."""
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = rng.integers(0, 256, (40, 4, 4, 1), np.uint8)
+        stacked = ArrayLoader(arr, batch_size=8, seed=0, steps_per_call=3)
+        flat = ArrayLoader(arr, batch_size=8, seed=0)
+        got = [b.copy() for b, _ in zip(stacked.epochs(), range(3))]
+        want = [b.copy() for b, _ in zip(flat.epochs(), range(9))]
+        assert got[0].shape == (3, 8, 4, 4, 1)
+        for s, stack in enumerate(got):
+            for j in range(3):
+                np.testing.assert_array_equal(stack[j], want[3 * s + j])
+
+    def test_host_sharding_partitions(self, rng):
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = np.arange(40, dtype=np.uint8).reshape(40, 1, 1, 1)
+        seen = set()
+        for si in range(2):
+            ld = ArrayLoader(arr, batch_size=20, seed=0, shard_index=si,
+                             shard_count=2)
+            batch = next(ld.epochs())
+            vals = set(int(v) for v in batch.ravel())
+            assert not (vals & seen)
+            seen |= vals
+        assert seen == set(range(40))
+
+    def test_batch_larger_than_shard_rejected(self, rng):
+        from lvae_tpu.data.streaming import ArrayLoader
+
+        arr = rng.integers(0, 256, (16, 4, 4, 1), np.uint8)
+        with pytest.raises(ValueError, match="exceeds"):
+            ArrayLoader(arr, batch_size=16, shard_index=0, shard_count=2)
+
+    @pytest.mark.slow
+    def test_streaming_trainer_grain_impl(self):
+        """--stream-impl grain keeps the worker-thread backend working
+        end-to-end (the default trainer test above covers 'array')."""
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.train import Experiment, Trainer
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, batch_size=16, dropout=0.0,
+            max_steps=5, log_interval=100, test_interval=1000, seed=0,
+            dry_run=True, streaming=True, stream_impl="grain",
+        )
+        state = Trainer(Experiment(cfg)).run()
+        assert int(state.step) == 5
+
+    def test_unknown_impl_rejected(self):
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.train import Experiment, Trainer
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, batch_size=16, dropout=0.0,
+            max_steps=2, seed=0, dry_run=True, streaming=True,
+            stream_impl="tfds",
+        )
+        with pytest.raises(ValueError, match="unknown stream_impl"):
+            Trainer(Experiment(cfg)).run()
+
+
 class TestFixtureGenerator:
     """tools/make_fixtures.py writes synthetic stand-ins in the exact
     on-disk formats of every file-backed dataset; every registry name

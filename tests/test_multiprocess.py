@@ -98,7 +98,7 @@ def test_two_process_data_parallel_train():
         results[0]["elbo"]
     )
 
-    # Streaming leg: each process's grain pipeline read only its strided
+    # Streaming leg: each process's host pipeline read only its strided
     # half of the dataset and fed its local portion of the globally
     # B-sharded batch (make_array_from_process_local_data) — the
     # production --streaming --num-data-shards recipe. SPMD => the

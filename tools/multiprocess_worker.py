@@ -159,15 +159,16 @@ def main() -> None:
 
     # Third leg: the STREAMING per-host shard path (data/streaming.py /
     # trainer._run_streaming recipe) executed for real across processes:
-    # each process's grain pipeline reads only its process_index-strided
-    # slice of the dataset and contributes its local half of the globally
-    # B-sharded batch via make_array_from_process_local_data; the gradient
-    # psum again crosses the process boundary. SPMD means both processes
-    # must end with bitwise-identical replicated state — the parent test
-    # asserts the param checksums match.
-    from lvae_tpu.data.streaming import GrainLoader, make_sharded_streaming_step
+    # each process's host pipeline (ArrayLoader — the --stream-impl
+    # default) reads only its process_index-strided slice of the dataset
+    # and contributes its local half of the globally B-sharded batch via
+    # make_array_from_process_local_data; the gradient psum again crosses
+    # the process boundary. SPMD means both processes must end with
+    # bitwise-identical replicated state — the parent test asserts the
+    # param checksums match.
+    from lvae_tpu.data.streaming import ArrayLoader, make_sharded_streaming_step
 
-    loader = GrainLoader(
+    loader = ArrayLoader(
         np.asarray(bundle.train), batch // nproc,
         seed=cfg.seed, shard_index=pid, shard_count=nproc,
     )
