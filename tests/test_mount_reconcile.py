@@ -1,0 +1,93 @@
+"""tools/mount_reconcile.py — the executable mount-day checklist.
+
+The reference mount has been empty every round; this tool is what turns
+"re-verify every [M]/[L] SURVEY claim on mount day" (VERDICT r3 #8) into
+a mechanical diff. Tested against a synthetic reference tree since the
+real one cannot exist in CI.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+TOOL = REPO / "tools" / "mount_reconcile.py"
+
+
+def run_tool(ref_dir, out=None):
+    cmd = [sys.executable, str(TOOL), "--reference", str(ref_dir)]
+    if out:
+        cmd += ["--out", str(out)]
+    return subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+
+
+def test_empty_mount_exits_2(tmp_path):
+    empty = tmp_path / "ref"
+    empty.mkdir()
+    proc = run_tool(empty)
+    assert proc.returncode == 2
+    assert "MOUNT STILL EMPTY" in proc.stdout
+
+
+def make_fake_reference(root: Path):
+    (root / "lib").mkdir(parents=True)
+    (root / "main.py").write_text(
+        "import argparse\n"
+        "p = argparse.ArgumentParser()\n"
+        + "\n".join(
+            f"p.add_argument('{f}')"
+            for f in [
+                "--zdims", "--downsample", "--nonlin", "--skip",
+                "--blocks-per-layer", "--gated", "--freebits",
+                "--learn-top-prior", "--data-dep-init", "--seed",
+                "--dataset", "--batch-size", "--test-batch-size", "--lr",
+                "--dropout", "--residual-type", "--merge-layers", "--no-bn",
+                "--likelihood", "--load", "--ll", "--nocuda", "--dry-run",
+                "--checkpoint-every", "--log-interval", "--test-log-every",
+                # rename trap: reference spells KL warmup '--warmup'
+                "--warmup",
+                # a flag lvae_tpu has no counterpart for
+                "--novel-thing",
+            ]
+        )
+        + "\n"
+    )
+    (root / "README.md").write_text(
+        "| static MNIST | -82.14 nats |\n| CIFAR-10 | 3.54 bits/dim |\n"
+    )
+    (root / "lib" / "nn.py").write_text(
+        "conv = Conv2d(3, 3, 3, padding=1)\n"
+    )
+
+
+def test_populated_mount_diffs_cli_and_extracts_results(tmp_path):
+    ref = tmp_path / "ref"
+    make_fake_reference(ref)
+    out = tmp_path / "report.md"
+    proc = run_tool(ref, out=out)
+    assert proc.returncode == 0, proc.stderr
+    report = out.read_text()
+    # population + [H] flags all present
+    assert "Mount POPULATED" in report
+    assert "All 11 README-confirmed [H] flags found verbatim" in report
+    # the guessed '--beta-anneal' is flagged as a probable rename...
+    assert "--beta-anneal" in report
+    # ...and the reference-only flags are surfaced with provenance
+    assert "--novel-thing" in report and "main.py:" in report
+    # README results rows extracted for the BASELINE comparison
+    assert "-82.14 nats" in report
+    assert "3.54 bits/dim" in report
+    # structural probe found the padding convention line
+    assert "padding=1" in report
+
+
+def test_all_guessed_flags_match_is_clean(tmp_path):
+    """A reference that matches every guess produces the all-clean lines."""
+    ref = tmp_path / "ref"
+    make_fake_reference(ref)
+    # append the remaining guessed spelling so nothing is missing
+    with (ref / "main.py").open("a") as f:
+        f.write("p.add_argument('--beta-anneal')\n")
+    proc = run_tool(ref)
+    assert proc.returncode == 0, proc.stderr
+    assert "Every [M]-guessed spelling matches" in proc.stdout
