@@ -82,7 +82,9 @@ class ExperimentConfig:
     # (host can't bind: ~3.6M img/s); 'grain' = grain MapDataset worker
     # threads (per-item overhead caps ~10k img/s under load; for
     # disk-bound per-record sources). Shuffle orders differ between the
-    # two, so resume uses the impl stored in the run's config.json.
+    # two, so resume adopts the impl stored in the resumed run's
+    # config.json (Trainer._adopt_stored_stream_impl; configs predating
+    # this field are treated as grain by config_from_dict).
     stream_impl: str = "array"            # 'array' | 'grain'
     # Pallas kernel policy (resolved per-kernel by train.trainer.resolve_fused):
     # 'auto' = measured winners only (mixture-head kernel on TPU);
@@ -365,4 +367,10 @@ def config_from_dict(d: dict) -> ExperimentConfig:
         if v == "None":
             v = None
         kwargs[k] = v
+    if kwargs.get("streaming") and "stream_impl" not in d:
+        # configs saved before the ArrayLoader existed have no
+        # stream_impl key — those runs streamed through grain; letting
+        # the dataclass default ('array') fill in would silently change
+        # the resumed run's data order
+        kwargs["stream_impl"] = "grain"
     return ExperimentConfig(**kwargs)

@@ -404,15 +404,27 @@ def _bwd_any(x, params, g, k, n_bins):
 
 def _batch_spec(*shardings):
     """PartitionSpec entries for the (B, H, W) dims, merged across the
-    operands (specs may be shorter than the rank; a dim sharded in any
-    operand wins — they must agree dim-wise or GSPMD would have flagged
-    the graph already)."""
+    operands (specs may be shorter than the rank; for each dim the first
+    operand that shards it wins). A mesh axis may appear in only ONE dim
+    of the merged spec: operands may legally disagree about which dim an
+    axis shards (x batch-sharded, params height-sharded over the same
+    axis — GSPMD would resolve that with a reshard, not an error), and
+    naively merging them emits a PartitionSpec with a duplicate axis,
+    which crashes compilation (DuplicateSpecError). The first dim that
+    claims an axis keeps it; the partition rule's ``args`` shardings
+    then force the disagreeing operand to reshard."""
     out = [None, None, None]
+    used = set()
     for sh in shardings:
         spec = tuple(sh.spec) + (None,) * 3
         for i in range(3):
-            if out[i] is None:
-                out[i] = spec[i]
+            if out[i] is not None or spec[i] is None:
+                continue
+            axes = spec[i] if isinstance(spec[i], tuple) else (spec[i],)
+            if used.intersection(axes):
+                continue
+            out[i] = spec[i]
+            used.update(axes)
     return tuple(out)
 
 

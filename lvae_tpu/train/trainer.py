@@ -27,7 +27,11 @@ from lvae_tpu.data import DeviceDataset, load_dataset
 from lvae_tpu.data.registry import DatasetBundle
 from lvae_tpu.eval.viz import save_image_grid
 from lvae_tpu.models import LadderVAE
-from lvae_tpu.train.checkpoint import CheckpointManager, save_config
+from lvae_tpu.train.checkpoint import (
+    CheckpointManager,
+    load_config_dict,
+    save_config,
+)
 from lvae_tpu.train.init import data_dependent_init
 from lvae_tpu.train.logging import MetricLogger
 from lvae_tpu.train.state import (
@@ -404,6 +408,39 @@ class Trainer:
             if installed:
                 signal.signal(signal.SIGTERM, prev or signal.SIG_DFL)
 
+    def _adopt_stored_stream_impl(self, stored_dir: str) -> ExperimentConfig:
+        """Data-order continuity on resume: the streaming impl stored in
+        the resumed run's config.json wins over the command line / the
+        current default. The two backends shuffle differently, so
+        switching impls mid-run silently changes the data stream and
+        breaks the bitwise resume guarantee; runs from before the
+        ArrayLoader existed stored no ``stream_impl`` key — they ran
+        grain. To switch impls intentionally, edit the run's config.json
+        (and forfeit bitwise resume-exactness across the switch)."""
+        cfg = self.cfg
+        if not cfg.streaming:
+            return cfg
+        try:
+            stored = load_config_dict(stored_dir)
+        except (OSError, ValueError):
+            return cfg
+        if not stored.get("streaming"):
+            return cfg
+        stored_impl = stored.get("stream_impl", "grain")
+        if stored_impl != cfg.stream_impl:
+            import dataclasses
+
+            p0print(
+                f"resume: adopting --stream-impl {stored_impl} from the "
+                f"run's stored config (this invocation had "
+                f"{cfg.stream_impl!r}) — shuffle orders differ between "
+                "streaming impls, so the stored impl must continue for "
+                "resume-exact data order", flush=True,
+            )
+            cfg = dataclasses.replace(cfg, stream_impl=stored_impl)
+            self.cfg = cfg
+        return cfg
+
     def _run_impl(self) -> TrainState:
         cfg, exp = self.cfg, self.exp
         if jax.process_count() > 1 and exp.mesh is None:
@@ -434,8 +471,6 @@ class Trainer:
         logger = MetricLogger(run_dir, enable_tb=not cfg.dry_run)
         if not cfg.dry_run:
             os.makedirs(run_dir, exist_ok=True)
-            if jax.process_index() == 0:   # one writer on shared filesystems
-                save_config(run_dir, cfg)
             ckpt = CheckpointManager(run_dir, keep=cfg.keep_checkpoints)
 
         will_restore = bool(cfg.load) or (
@@ -449,12 +484,20 @@ class Trainer:
             restore = CheckpointManager(load_dir, keep=cfg.keep_checkpoints)
             state = restore.restore(state)
             p0print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
+            cfg = self._adopt_stored_stream_impl(load_dir)
         elif cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None:
             # failure recovery: restart with the same run name picks up the
             # latest checkpoint automatically (SURVEY.md §5 "failure
-            # detection ... orbax auto-restore of latest step on startup")
+            # detection ... orbax auto-restore of latest step on startup").
+            # The run dir's config.json is still the ORIGINAL one here —
+            # save_config below runs only after impl reconciliation.
+            cfg = self._adopt_stored_stream_impl(run_dir)
             state = ckpt.restore(state)
             p0print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
+        if not cfg.dry_run and jax.process_index() == 0:
+            # one writer on shared filesystems; written after restore so a
+            # resumed run's stored stream impl is reconciled first
+            save_config(run_dir, cfg)
 
         if exp.mesh is not None and jax.process_count() > 1:
             # multi-process jits only accept GLOBAL arrays: promote the

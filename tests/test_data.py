@@ -292,6 +292,62 @@ class TestStreaming:
         state = Trainer(Experiment(cfg)).run()
         assert int(state.step) == 5
 
+    def test_config_from_dict_legacy_streaming_defaults_to_grain(self):
+        """configs saved before stream_impl existed ran grain; the
+        dataclass default ('array') must not fill in for them."""
+        import dataclasses
+
+        from lvae_tpu.config import ExperimentConfig, config_from_dict
+
+        d = dataclasses.asdict(ExperimentConfig(streaming=True))
+        d.pop("stream_impl")
+        assert config_from_dict(d).stream_impl == "grain"
+        d2 = dataclasses.asdict(ExperimentConfig())  # not a streaming run
+        d2.pop("stream_impl")
+        assert config_from_dict(d2).stream_impl == "array"
+
+    @pytest.mark.slow
+    def test_streaming_resume_adopts_stored_impl(self, tmp_path):
+        """A run trained with grain, preempted, and relaunched under the
+        new 'array' default must CONTINUE ON GRAIN (shuffle orders differ
+        between impls): the trainer adopts the impl stored in the resumed
+        run's config.json, the bitwise resume guarantee holds across the
+        default change, and the re-saved config records the adopted impl."""
+        import json
+
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.train import Experiment, Trainer
+
+        base = dict(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, batch_size=16, dropout=0.0,
+            log_interval=100, test_interval=1000, checkpoint_interval=3,
+            seed=0, streaming=True, output_dir=str(tmp_path),
+        )
+        full = Trainer(Experiment(ExperimentConfig(
+            run_name="full", stream_impl="grain", max_steps=6, **base
+        ))).run()
+
+        Trainer(Experiment(ExperimentConfig(
+            run_name="part", stream_impl="grain", max_steps=3, **base
+        ))).run()
+        # relaunch with the post-upgrade default ('array') — as a user's
+        # unchanged pre-upgrade command line would after the default flip
+        tr = Trainer(Experiment(ExperimentConfig(
+            run_name="part", stream_impl="array", max_steps=6,
+            auto_resume=True, **base
+        )))
+        resumed = tr.run()
+        assert tr.cfg.stream_impl == "grain", "stored impl not adopted"
+        with open(tmp_path / "part" / "config.json") as f:
+            assert json.load(f)["stream_impl"] == "grain"
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            full.params, resumed.params,
+        )
+
     def test_grain_loader_start_step_fast_forward(self, rng):
         """epochs(start_step=s) continues the stream exactly where an
         uninterrupted iteration would be after s batches — including

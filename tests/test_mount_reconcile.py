@@ -34,10 +34,17 @@ def make_fake_reference(root: Path):
     (root / "main.py").write_text(
         "import argparse\n"
         "p = argparse.ArgumentParser()\n"
+        # multi-line style for two [H] flags — a line-by-line scanner
+        # would miss these and false-report "confirmed flag ABSENT"
+        "p.add_argument(\n    '--zdims', nargs='+', type=int)\n"
+        "p.add_argument(\n"
+        "    '--downsample',\n    nargs='+')\n"
+        # short alias first: '-v' must not pollute the diff
+        "p.add_argument('-v', '--verbose', action='store_true')\n"
         + "\n".join(
             f"p.add_argument('{f}')"
             for f in [
-                "--zdims", "--downsample", "--nonlin", "--skip",
+                "--nonlin", "--skip",
                 "--blocks-per-layer", "--gated", "--freebits",
                 "--learn-top-prior", "--data-dep-init", "--seed",
                 "--dataset", "--batch-size", "--test-batch-size", "--lr",
@@ -79,6 +86,12 @@ def test_populated_mount_diffs_cli_and_extracts_results(tmp_path):
     assert "3.54 bits/dim" in report
     # structural probe found the padding convention line
     assert "padding=1" in report
+    # multi-line add_argument declarations are still extracted ('--zdims'
+    # and '--downsample' appear only in multi-line form in the fake)
+    assert "ABSENT" not in report
+    # short aliases never reach the "flags we lack" list
+    assert "- -v" not in report
+    assert "--verbose" in report
 
 
 def test_all_guessed_flags_match_is_clean(tmp_path):

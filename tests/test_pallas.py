@@ -632,6 +632,36 @@ class TestShardedKernels:
             )
             np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
+    def test_mixture_conflicting_axis_operands_reshard_not_crash(self, rng):
+        # Operands may disagree about which dim a mesh axis shards (x
+        # batch-sharded, params HEIGHT-sharded over the same axis). The
+        # merge in _batch_spec must not emit a PartitionSpec with the
+        # axis in two dims — that is an invalid spec and crashes
+        # compilation (DuplicateSpecError) — it must keep the first
+        # claim and let the args shardings reshard the other operand.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
+        from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob
+
+        x, p = self._data(rng)
+        want = np.asarray(discretized_logistic_mix_log_prob(x, p))
+        from lvae_tpu.parallel import make_mesh
+
+        for mesh in (make_mesh(8), make_mesh(4, spatial=2)):
+            xsh = NamedSharding(mesh, P("data"))
+            psh = NamedSharding(mesh, P(None, "data"))
+            f = jax.jit(fused_mix_log_prob, in_shardings=(xsh, psh))
+            got = f(jax.device_put(x, xsh), jax.device_put(p, psh))
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+            # gradient path exercises _bwd_infer/_bwd_partition's merge
+            g = jax.jit(
+                jax.grad(
+                    lambda xx, pp: fused_mix_log_prob(xx, pp).sum(), argnums=1
+                ),
+                in_shardings=(xsh, psh),
+            )(jax.device_put(x, xsh), jax.device_put(p, psh))
+            assert np.isfinite(np.asarray(g)).all()
+
     def test_mixture_grads_sharded_match_oracle(self, rng):
         from lvae_tpu.kernels.mixture_pallas import fused_mix_log_prob
         from lvae_tpu.ops.likelihoods import discretized_logistic_mix_log_prob

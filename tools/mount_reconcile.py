@@ -61,7 +61,15 @@ GUESSED_FLAGS = [
     "--checkpoint-every", "--log-interval", "--test-log-every",
 ]
 
-ADD_ARG_RE = re.compile(r"""add_argument\(\s*['"](--?[\w-]+)['"]""")
+# Matches the flag literal(s) of an add_argument call, tolerating a
+# newline between ``add_argument(`` and the literal (the common
+# multi-line argparse style) and an optional leading short alias
+# ('-v', '--verbose'). Captures only '--' spellings: short aliases can
+# never match our_flags() (which collects '--' options) and would only
+# pollute the "reference flags we lack" list.
+ADD_ARG_RE = re.compile(
+    r"""add_argument\(\s*(?:['"]-\w['"]\s*,\s*)?['"](--[\w-]+)['"]"""
+)
 
 # (token regex, why it matters, which of our switches it pins)
 STRUCTURAL_PROBES = [
@@ -96,16 +104,20 @@ def iter_py(ref: Path):
 
 
 def extract_ref_flags(ref: Path):
-    """All --flag spellings in the reference, with file:line provenance."""
+    """All --flag spellings in the reference, with file:line provenance.
+
+    Scans whole-file text (not line-by-line): a missed multi-line
+    ``add_argument(\\n    '--zdims', ...)`` would false-trigger the
+    report's most alarming diagnosis ("[H]-confirmed flag ABSENT")."""
     flags = {}
     for py in iter_py(ref):
         try:
             text = py.read_text(errors="replace")
         except OSError:
             continue
-        for i, line in enumerate(text.splitlines(), 1):
-            for m in ADD_ARG_RE.finditer(line):
-                flags.setdefault(m.group(1), f"{py.relative_to(ref)}:{i}")
+        for m in ADD_ARG_RE.finditer(text):
+            line = text.count("\n", 0, m.start()) + 1
+            flags.setdefault(m.group(1), f"{py.relative_to(ref)}:{line}")
     return flags
 
 
@@ -170,7 +182,12 @@ def main(argv=None) -> int:
         return 2
 
     py_files = iter_py(ref)
-    loc = sum(len(p.read_text(errors="replace").splitlines()) for p in py_files)
+    loc = 0
+    for p in py_files:
+        try:
+            loc += len(p.read_text(errors="replace").splitlines())
+        except OSError:  # unreadable file must not kill the report
+            continue
     w(f"Mount POPULATED: {len(files)} files, {len(py_files)} python, "
       f"{loc} python LoC (SURVEY §2.1 estimated ~2.0-2.6k).")
     w("")

@@ -23,26 +23,9 @@ DONE_DIR=/tmp/tpu_r4_done
 TRIES=6
 PAUSE=300
 mkdir -p "$DONE_DIR"
-cd "$(dirname "$0")/.."
-
-run() {
-  # run <name> <timeout> <cmd...>: retry across tunnel flaps; marker on ok
-  local name="$1" tmo="$2"; shift 2
-  if [ -e "$DONE_DIR/$name" ]; then
-    echo "=== $name: already done, skipping ===" | tee -a "$LOG"
-    return 0
-  fi
-  local rc=1
-  for attempt in $(seq 1 "$TRIES"); do
-    echo "=== $name attempt $attempt ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-    timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
-    rc=$?
-    echo "--- $name attempt $attempt exit=$rc ---" | tee -a "$LOG"
-    [ $rc -eq 0 ] && { touch "$DONE_DIR/$name"; return 0; }
-    [ "$attempt" -lt "$TRIES" ] && sleep "$PAUSE"
-  done
-  return $rc
-}
+LIBDIR="$(cd "$(dirname "$0")" && pwd)"
+cd "$LIBDIR/.."
+. "$LIBDIR/tpu_queue_lib.sh"
 
 # Hardware kernel battery first — the partitioning rework touched the
 # mixture/logsumexp kernels, so re-validate all 24 on-chip checks.
@@ -99,16 +82,8 @@ for seed in 0 1 2; do
   done
 done
 
-missing=0
-for m in bench_default bench_blocks4 bench_celeba_auto bench_celeba_none \
-         profile_b256 train_bn0_s0 eval_bn0_s0 train_bn16_s0 eval_bn16_s0 \
+check_drained R4 hw_tests bench_default bench_blocks4 bench_celeba_auto \
+         bench_celeba_none profile_b256 make_fixtures \
+         train_bn0_s0 eval_bn0_s0 train_bn16_s0 eval_bn16_s0 \
          train_bn0_s1 eval_bn0_s1 train_bn16_s1 eval_bn16_s1 \
-         train_bn0_s2 eval_bn0_s2 train_bn16_s2 eval_bn16_s2; do
-  [ -e "$DONE_DIR/$m" ] || { echo "MISSING: $m" | tee -a "$LOG"; missing=1; }
-done
-if [ $missing -eq 0 ]; then
-  echo "R4 QUEUE FULLY DRAINED — results in $LOG" | tee -a "$LOG"
-else
-  echo "R4 QUEUE INCOMPLETE — re-run to retry missing legs" | tee -a "$LOG"
-  exit 1
-fi
+         train_bn0_s2 eval_bn0_s2 train_bn16_s2 eval_bn16_s2

@@ -22,25 +22,9 @@ DONE_DIR=/tmp/tpu_r4b_done
 TRIES=6
 PAUSE=300
 mkdir -p "$DONE_DIR"
-cd "$(dirname "$0")/.."
-
-run() {
-  local name="$1" tmo="$2"; shift 2
-  if [ -e "$DONE_DIR/$name" ]; then
-    echo "=== $name: already done, skipping ===" | tee -a "$LOG"
-    return 0
-  fi
-  local rc=1
-  for attempt in $(seq 1 "$TRIES"); do
-    echo "=== $name attempt $attempt ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-    timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
-    rc=$?
-    echo "--- $name attempt $attempt exit=$rc ---" | tee -a "$LOG"
-    [ $rc -eq 0 ] && { touch "$DONE_DIR/$name"; return 0; }
-    [ "$attempt" -lt "$TRIES" ] && sleep "$PAUSE"
-  done
-  return $rc
-}
+LIBDIR="$(cd "$(dirname "$0")" && pwd)"
+cd "$LIBDIR/.."
+. "$LIBDIR/tpu_queue_lib.sh"
 
 run bench_b512 1500 python bench.py --batch-size 512 --verbose
 
@@ -58,13 +42,4 @@ else
   echo "NO bn0_s0 run dir — main queue incomplete?" | tee -a "$LOG"
 fi
 
-missing=0
-for m in bench_b512 iwll_streaming iwll_pallas serving_roundtrip; do
-  [ -e "$DONE_DIR/$m" ] || { echo "MISSING: $m" | tee -a "$LOG"; missing=1; }
-done
-if [ $missing -eq 0 ]; then
-  echo "R4B QUEUE FULLY DRAINED — results in $LOG" | tee -a "$LOG"
-else
-  echo "R4B QUEUE INCOMPLETE — re-run to retry missing legs" | tee -a "$LOG"
-  exit 1
-fi
+check_drained R4B bench_b512 iwll_streaming iwll_pallas serving_roundtrip

@@ -20,30 +20,14 @@ DONE_DIR=/tmp/tpu_r4d_done
 TRIES=5
 PAUSE=240
 mkdir -p "$DONE_DIR"
-cd "$(dirname "$0")/.."
+LIBDIR="$(cd "$(dirname "$0")" && pwd)"
+cd "$LIBDIR/.."
+. "$LIBDIR/tpu_queue_lib.sh"
 
 FLAGSHIP=(--dataset static_mnist --data-dir /tmp/r4_fixtures
   --zdims 32 32 32 --downsample 1 1 1 --skip --gated --learn-top-prior
   --freebits 0.5 --beta-anneal 500 --batch-size 256 --max-steps 2000
   --test-interval 1000 --checkpoint-interval 1000 --seed 0)
-
-run() {
-  local name="$1" tmo="$2"; shift 2
-  if [ -e "$DONE_DIR/$name" ]; then
-    echo "=== $name: already done, skipping ===" | tee -a "$LOG"
-    return 0
-  fi
-  local rc=1
-  for attempt in $(seq 1 "$TRIES"); do
-    echo "=== $name attempt $attempt ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-    timeout -k 30 "$tmo" "$@" >>"$LOG" 2>&1
-    rc=$?
-    echo "--- $name attempt $attempt exit=$rc ---" | tee -a "$LOG"
-    [ $rc -eq 0 ] && { touch "$DONE_DIR/$name"; return 0; }
-    [ "$attempt" -lt "$TRIES" ] && sleep "$PAUSE"
-  done
-  return $rc
-}
 
 run stream_array 2400 python main.py "${FLAGSHIP[@]}" \
   --streaming --stream-impl array --output-dir /tmp/r4d_stream/array
@@ -52,13 +36,4 @@ run stream_grain 2400 python main.py "${FLAGSHIP[@]}" \
 run resident 2400 python main.py "${FLAGSHIP[@]}" \
   --output-dir /tmp/r4d_stream/resident
 
-missing=0
-for m in stream_array stream_grain resident; do
-  [ -e "$DONE_DIR/$m" ] || { echo "MISSING: $m" | tee -a "$LOG"; missing=1; }
-done
-if [ $missing -eq 0 ]; then
-  echo "R4D QUEUE FULLY DRAINED — results in $LOG" | tee -a "$LOG"
-else
-  echo "R4D QUEUE INCOMPLETE — re-run to retry missing legs" | tee -a "$LOG"
-  exit 1
-fi
+check_drained R4D stream_array stream_grain resident
