@@ -16,22 +16,21 @@ Three surfaces per run:
   likelihood mean of ``sample_prior`` (reference SURVEY.md §3.3), with
   export-time ``n_images`` / ``temperature`` / mode- and constant-layer
   diagnostics baked in.
-- ``reconstruct``: ``(x uint8 [B, H, W, C], seed int32[]) ->
-  {out_mean, ll, kl, elbo, bpd}`` — eval-convention preprocessing
-  (per-image keyed binarization / bin-center dequantization, the same
-  mechanism as evaluate.py) and a per-image vmapped forward. Keying
-  contract: outputs are keyed by (seed, BATCH POSITION) — evaluate.py
-  keys by global dataset index, which the artifact cannot know — so
-  image ``i``'s outputs are invariant to appending/removing images
-  after it (batch-size invariant, tested) but NOT to permuting the
-  batch: the same image at a different position gets a different
-  binarization/latent draw. Callers needing stable per-image outputs
-  should present images at stable positions (or fix B=1). The batch
-  dimension is exported symbolically by default (one artifact serves
-  any B >= 1).
-- ``encode``: ``(x uint8 [B, H, W, C], seed int32[]) -> {mu, z}`` — the
-  per-layer posterior latents (representation surface), same
-  preprocessing/keying contract as ``reconstruct`` (position-keyed).
+- ``reconstruct``: ``(x uint8 [B, H, W, C], seed int32[],
+  index int32[B]) -> {out_mean, ll, kl, elbo, bpd}`` — eval-convention
+  preprocessing (per-image keyed binarization / bin-center
+  dequantization, the same mechanism as evaluate.py) and a per-image
+  vmapped forward. Keying contract: image ``i``'s outputs are keyed by
+  ``(seed, index[i])`` — the CALLER owns per-image identity. Pass the
+  images' global dataset indices for exactly evaluate.py's keying
+  (outputs then invariant to batching AND permutation: the same (image,
+  index) pair gives the same binarization/latent draw anywhere in any
+  batch), or ``arange(B)`` for pure position keying (prefix-append
+  invariant only). The batch dimension is exported symbolically by
+  default (one artifact serves any B >= 1).
+- ``encode``: ``(x uint8 [B, H, W, C], seed int32[], index int32[B]) ->
+  {mu, z}`` — the per-layer posterior latents (representation surface),
+  same preprocessing/keying contract as ``reconstruct``.
 
 Artifacts are exported with ``fused='none'``: Pallas kernels lower to
 backend-specific custom calls that are neither portable across platforms
@@ -88,17 +87,18 @@ def make_generate_fn(
 
 
 def make_reconstruct_fn(model, variables: dict, preprocess: str, data_dims: int):
-    """``reconstruct(batch_u8, seed) -> dict`` with per-image outputs keyed
-    by (seed, batch position) — prefix-append batch-size invariant, NOT
-    permutation invariant (module docstring "Keying contract"; mechanism
-    shared with train.state.per_image_forward /
-    data.device.eval_preprocess_batch, which key by global dataset
-    index)."""
+    """``reconstruct(batch_u8, seed, index) -> dict`` with per-image
+    outputs keyed by ``(seed, index[i])`` (module docstring "Keying
+    contract"; mechanism shared with train.state.per_image_forward /
+    data.device.eval_preprocess_batch). Pass global dataset indices for
+    evaluate.py-identical, permutation-invariant keying; ``arange(B)``
+    for position keying."""
     from lvae_tpu.data.device import eval_preprocess_batch
 
-    def reconstruct(batch_u8: jnp.ndarray, seed: jnp.ndarray) -> dict:
-        b = batch_u8.shape[0]
-        idx = jnp.arange(b, dtype=jnp.int32)
+    def reconstruct(
+        batch_u8: jnp.ndarray, seed: jnp.ndarray, index: jnp.ndarray
+    ) -> dict:
+        idx = index.astype(jnp.int32)
         x = eval_preprocess_batch(batch_u8, preprocess, idx)
         keys = jax.vmap(
             lambda i: jax.random.fold_in(jax.random.key(seed), i)
@@ -128,7 +128,8 @@ def make_reconstruct_fn(model, variables: dict, preprocess: str, data_dims: int)
 
 
 def make_encode_fn(model, variables: dict, preprocess: str):
-    """``encode(batch_u8, seed) -> {mu, z}`` per-layer posterior latents.
+    """``encode(batch_u8, seed, index) -> {mu, z}`` per-layer posterior
+    latents, keyed per image by ``(seed, index[i])`` like ``reconstruct``.
 
     The representation surface: ``mu`` is the posterior mean per ladder
     layer (tuple of ``[B, H_i, W_i, z_i]``, indexed bottom-up — tuple
@@ -148,9 +149,10 @@ def make_encode_fn(model, variables: dict, preprocess: str):
     from lvae_tpu.data.device import eval_preprocess_batch
     from lvae_tpu.ops.stochastic import split_params
 
-    def encode(batch_u8: jnp.ndarray, seed: jnp.ndarray) -> dict:
-        b = batch_u8.shape[0]
-        idx = jnp.arange(b, dtype=jnp.int32)
+    def encode(
+        batch_u8: jnp.ndarray, seed: jnp.ndarray, index: jnp.ndarray
+    ) -> dict:
+        idx = index.astype(jnp.int32)
         x = eval_preprocess_batch(batch_u8, preprocess, idx)
         keys = jax.vmap(
             lambda i: jax.random.fold_in(jax.random.key(seed), i)
@@ -280,18 +282,21 @@ def export_run(
         exported = jexport.export(jax.jit(fn), platforms=plats)(
             jax.ShapeDtypeStruct(shape, jnp.uint8),
             jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((shape[0],), jnp.int32),
         )
         p = os.path.join(out_dir, "reconstruct.jaxexport")
         with open(p, "wb") as f:
             f.write(exported.serialize())
         paths["reconstruct"] = p
+        bname = "b" if batch is None else batch
         manifest["surfaces"]["reconstruct"] = {
-            "in": f"x uint8[{'b' if batch is None else batch},{h},{w},{c}], "
-                  "seed int32[]",
+            "in": f"x uint8[{bname},{h},{w},{c}], seed int32[], "
+                  f"index int32[{bname}]",
             "out": "{out_mean float32[B,H,W,C], ll/kl/elbo/bpd float32[B]}",
             "batch": batch,
-            "keying": "(seed, batch position): prefix-append invariant, "
-                      "not permutation invariant",
+            "keying": "(seed, index[i]) per image: pass global dataset "
+                      "indices for evaluate.py-identical permutation-"
+                      "invariant keying, or arange(B) for position keying",
         }
 
     if "encode" in what:
@@ -304,20 +309,23 @@ def export_run(
         exported = jexport.export(jax.jit(fn), platforms=plats)(
             jax.ShapeDtypeStruct(eshape, jnp.uint8),
             jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((eshape[0],), jnp.int32),
         )
         p = os.path.join(out_dir, "encode.jaxexport")
         with open(p, "wb") as f:
             f.write(exported.serialize())
         paths["encode"] = p
+        bname = "b" if batch is None else batch
         manifest["surfaces"]["encode"] = {
-            "in": f"x uint8[{'b' if batch is None else batch},{h},{w},{c}], "
-                  "seed int32[]",
+            "in": f"x uint8[{bname},{h},{w},{c}], seed int32[], "
+                  f"index int32[{bname}]",
             "out": "{mu, z}: tuples of float32[B,H_i,W_i,z_i], indexed "
                    "bottom-up (kl/layer_i numbering)",
             "batch": batch,
             "zdims": list(exp.cfg.zdims),
-            "keying": "(seed, batch position): prefix-append invariant, "
-                      "not permutation invariant",
+            "keying": "(seed, index[i]) per image: pass global dataset "
+                      "indices for evaluate.py-identical permutation-"
+                      "invariant keying, or arange(B) for position keying",
         }
 
     mp = os.path.join(out_dir, "manifest.json")

@@ -63,8 +63,8 @@ class TestExportRoundtrip:
         x5 = np.concatenate(
             [x3, (rng.uniform(size=(2, h, w, c)) > 0.5).astype(np.uint8)]
         )
-        o3 = art.call(x3, np.int32(0))
-        o5 = art.call(x5, np.int32(0))
+        o3 = art.call(x3, np.int32(0), np.arange(3, dtype=np.int32))
+        o5 = art.call(x5, np.int32(0), np.arange(5, dtype=np.int32))
         # ONE artifact serves both batch sizes, and per-image outputs are
         # batch-composition invariant (the eval keying contract)
         for k in ("out_mean", "ll", "kl", "elbo", "bpd"):
@@ -73,6 +73,17 @@ class TestExportRoundtrip:
                 err_msg=k,
             )
         assert np.isfinite(np.asarray(o5["bpd"])).all()
+        # permutation invariance: caller-supplied indices ARE the identity
+        # (ADVICE r3 #1 — position keying was only prefix-append invariant)
+        perm = np.array([4, 0, 2, 1, 3])
+        op = art.call(
+            x5[perm], np.int32(0), perm.astype(np.int32)
+        )
+        for k in ("ll", "kl", "elbo", "bpd"):
+            np.testing.assert_allclose(
+                np.asarray(op[k]), np.asarray(o5[k])[perm],
+                rtol=1e-5, atol=1e-5, err_msg=f"permuted {k}",
+            )
         # and the artifact reproduces the in-process function
         from lvae_tpu.serving import _restore_for_export
 
@@ -81,7 +92,7 @@ class TestExportRoundtrip:
             exp.model, variables, exp.loss_cfg.preprocess,
             exp.loss_cfg.data_dims,
         ))
-        direct = fn(jnp.asarray(x3), jnp.int32(0))
+        direct = fn(jnp.asarray(x3), jnp.int32(0), jnp.arange(3, dtype=jnp.int32))
         np.testing.assert_allclose(
             np.asarray(o3["elbo"]), np.asarray(direct["elbo"]),
             rtol=1e-5, atol=1e-5,
@@ -92,7 +103,8 @@ class TestExportRoundtrip:
         art = load_artifact(arts.paths["encode"])
         h, w, c = arts.manifest["img_shape"]
         x = (rng.uniform(size=(2, h, w, c)) > 0.5).astype(np.uint8)
-        out = art.call(x, np.int32(3))
+        idx = np.arange(2, dtype=np.int32)
+        out = art.call(x, np.int32(3), idx)
         # two ladder layers, z=4 each; layer 0 = bottom (kl/layer_i order)
         assert len(out["mu"]) == 2 and len(out["z"]) == 2
         for mu, z in zip(out["mu"], out["z"]):
@@ -103,7 +115,7 @@ class TestExportRoundtrip:
         # the bottom-up pass; the synthetic dataset's 'none' preprocessing
         # is seed-free).  Lower layers condition on sampled z from above,
         # so their mu legitimately varies with the seed.
-        out2 = art.call(x, np.int32(7))
+        out2 = art.call(x, np.int32(7), idx)
         np.testing.assert_allclose(
             np.asarray(out["mu"][-1]), np.asarray(out2["mu"][-1]),
             rtol=1e-6, atol=1e-6,

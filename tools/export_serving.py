@@ -99,13 +99,17 @@ def main(argv=None):
         if "reconstruct" in arts.paths:
             b = args.batch or 2
             x = np.zeros((b, h, w, c), np.uint8)
-            out = load_artifact(arts.paths["reconstruct"]).call(x, np.int32(0))
+            idx = np.arange(b, dtype=np.int32)
+            out = load_artifact(arts.paths["reconstruct"]).call(
+                x, np.int32(0), idx
+            )
             print(f"check reconstruct: out_mean {out['out_mean'].shape} "
                   f"bpd[0]={float(np.asarray(out['bpd'])[0]):.4f}")
         if "encode" in arts.paths:
             b = args.batch or 2
             x = np.zeros((b, h, w, c), np.uint8)
-            out = load_artifact(arts.paths["encode"]).call(x, np.int32(0))
+            idx = np.arange(b, dtype=np.int32)
+            out = load_artifact(arts.paths["encode"]).call(x, np.int32(0), idx)
             shapes = [tuple(m.shape) for m in out["mu"]]
             print(f"check encode: mu shapes {shapes}")
 
