@@ -1,11 +1,20 @@
-"""Torch-checkpoint import: reference state_dicts -> restorable run dirs.
+"""Torch-checkpoint conversion, both directions.
 
-The reference saves ``torch.save(model.state_dict(), ...)`` via its boilr
-trainer (SURVEY.md §2.2 "Checkpoint save/load"); this module converts such
-a state_dict into this framework's flax param/batch-stats trees so a
-reference-trained model can be evaluated (or fine-tuned) here. The name
-and layout mapping is the one documented in ``docs/CHECKPOINT_FORMAT.md``
-and exercised bidirectionally by ``tests/torch_mirror.py``:
+Import: the reference saves ``torch.save(model.state_dict(), ...)`` via its
+boilr trainer (SURVEY.md §2.2 "Checkpoint save/load");
+``torch_state_dict_to_flax`` converts such a state_dict into this
+framework's flax param/batch-stats trees so a reference-trained model can
+be evaluated (or fine-tuned) here.
+
+Export: ``flax_to_torch_state_dict`` is the exact inverse — it emits a
+reference-style state_dict from this framework's trees so a TPU-trained
+model can be loaded back into the reference's torch implementation
+(``model.load_state_dict(...)``, strict). Every layout transform below is
+a bijection, so import(export(tree)) is bit-exact (tested).
+
+The name and layout mapping is the one documented in
+``docs/CHECKPOINT_FORMAT.md`` and exercised bidirectionally by
+``tests/torch_mirror.py``:
 
 - conv kernels: torch ``[out, in, kh, kw]`` -> flax ``[kh, kw, in, out]``
 - transposed-conv kernels: torch ``[in, out, kh, kw]`` -> flax layout with
@@ -113,3 +122,47 @@ def torch_state_dict_to_flax(
     if strict and leftover:
         raise KeyError(f"unconverted state_dict entries: {sorted(leftover)[:8]}")
     return params, batch_stats
+
+
+def _to_torch_leaf(path: tuple, value: np.ndarray) -> np.ndarray:
+    """Inverse of ``_to_flax_leaf`` (pure layout transposes, bit-exact)."""
+    leaf = path[-1]
+    v = np.array(value, dtype=np.float32)  # copy: jax arrays are read-only
+    if leaf == "top_prior":
+        return np.ascontiguousarray(v.transpose(0, 3, 1, 2))  # NHWC -> NCHW
+    if leaf == "kernel":
+        if any("ConvTranspose" in c for c in path):
+            # flax [kh,kw,in,out] with flipped taps -> unflip, then torch
+            # conv_transpose layout [in, out, kh, kw]
+            return np.ascontiguousarray(v[::-1, ::-1].transpose(2, 3, 0, 1))
+        return np.ascontiguousarray(v.transpose(3, 2, 0, 1))  # -> [out,in,kh,kw]
+    return v  # bias / scale / mean / var: 1-D, unchanged
+
+
+def flax_to_torch_state_dict(
+    params: Mapping,
+    batch_stats: Optional[Mapping] = None,
+    key_fn: Callable[[tuple], str] = torch_key_for,
+    num_batches_tracked: int = 0,
+) -> dict:
+    """Convert (params, batch_stats) trees into a reference-style torch
+    ``state_dict`` of numpy arrays (wrap leaves in ``torch.from_numpy``
+    before ``load_state_dict``; ``torch.save`` accepts them as-is).
+
+    Each BatchNorm gets a ``num_batches_tracked`` int64 scalar (torch's
+    strict ``load_state_dict`` requires the buffer; the reference never
+    reads it — momentum is fixed — so 0 is the conventional value for a
+    converted checkpoint; override if a downstream consumer cares).
+    """
+    from flax.traverse_util import flatten_dict
+
+    out: dict = {}
+    for path, val in flatten_dict(params).items():
+        out[key_fn(path)] = _to_torch_leaf(path, val)
+    for path, val in flatten_dict(batch_stats or {}).items():
+        out[key_fn(path)] = _to_torch_leaf(path, val)
+        if path[-1] == "mean":
+            out[".".join((*path[:-1], "num_batches_tracked"))] = np.asarray(
+                num_batches_tracked, dtype=np.int64
+            )
+    return out

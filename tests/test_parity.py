@@ -492,6 +492,137 @@ class TestTorchCheckpointConvert:
             )
 
 
+class TestTorchCheckpointExport:
+    """lvae_tpu.train.convert.flax_to_torch_state_dict +
+    tools/export_torch_checkpoint: the reverse direction — a TPU-trained
+    run exported as a reference-style torch state_dict (train here,
+    evaluate/fine-tune with the reference implementation)."""
+
+    @pytest.mark.parametrize("conv", CONVENTIONS)
+    def test_import_of_export_is_bit_exact(self, conv):
+        """export -> import recovers the original trees exactly (every
+        layout transform is a bijection), and the exported dict carries
+        the num_batches_tracked buffers torch's strict load requires."""
+        from flax.traverse_util import flatten_dict
+        from lvae_tpu.train.convert import (
+            flax_to_torch_state_dict,
+            torch_state_dict_to_flax,
+        )
+
+        model, variables, tmodel, x = make_pair(**conv)
+        sd = flax_to_torch_state_dict(
+            variables["params"], variables.get("batch_stats", {})
+        )
+        n_bn = sum(1 for k in sd if k.endswith("num_batches_tracked"))
+        n_mean = sum(1 for k in sd if k.endswith("running_mean"))
+        assert n_bn == n_mean > 0
+        params, bstats = torch_state_dict_to_flax(
+            variables["params"], variables.get("batch_stats", {}), sd
+        )
+        for path, vo in flatten_dict(unfreeze(variables["params"])).items():
+            np.testing.assert_array_equal(
+                np.asarray(vo), flatten_dict(params)[path],
+                err_msg="/".join(path),
+            )
+        for path, vo in flatten_dict(
+            unfreeze(variables["batch_stats"])
+        ).items():
+            np.testing.assert_array_equal(
+                np.asarray(vo), flatten_dict(bstats)[path]
+            )
+
+    @pytest.mark.parametrize("likelihood", LIKELIHOODS)
+    def test_strict_load_into_mirror_forward_parity(self, likelihood):
+        """The export satisfies torch's STRICT load_state_dict on a fresh
+        mirror (key set and shapes are reference-complete), and the loaded
+        mirror reproduces the flax forward ELBO."""
+        from lvae_tpu.train.convert import flax_to_torch_state_dict
+
+        conv = dict(conv_pad="torch", skip_merge_mode="post")
+        color_ch = 1 if likelihood == "bernoulli" else 3
+        model, variables, _, x = make_pair(likelihood=likelihood, **conv)
+        sd = flax_to_torch_state_dict(
+            variables["params"], variables.get("batch_stats", {})
+        )
+
+        fresh = LadderVAET(
+            likelihood=likelihood, color_ch=color_ch, **CFG, **conv
+        )
+        fresh.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+            strict=True,
+        )
+
+        shapes = latent_shapes(model, variables, x)
+        rng = np.random.default_rng(11)
+        forced = [rng.normal(size=s).astype(np.float32) * 0.5 for s in shapes]
+        out_j = model.apply(
+            variables, x, [jnp.asarray(z) for z in forced], False,
+            method=fwd_forced,
+        )
+        fresh.eval()
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        zt = [torch.from_numpy(z).permute(0, 3, 1, 2) for z in forced]
+        with torch.no_grad():
+            out_t = fresh(xt, forced_z=zt)
+        np.testing.assert_allclose(
+            np.asarray(out_j["ll"]), out_t["ll"].numpy(), rtol=3e-6, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j["kl_sep"]), out_t["kl_sep"].numpy(),
+            rtol=0, atol=2e-3,
+        )
+
+    def test_export_cli_roundtrip(self, tmp_path):
+        """End-to-end: save a checkpoint, run the exporter CLI, torch.load
+        the artifact, import it back — weights match the saved state."""
+        import importlib.util
+        import os
+
+        from flax.traverse_util import flatten_dict
+        from lvae_tpu.config import ExperimentConfig
+        from lvae_tpu.data.registry import stub_bundle
+        from lvae_tpu.train import CheckpointManager, Experiment
+        from lvae_tpu.train.checkpoint import save_config
+        from lvae_tpu.train.convert import torch_state_dict_to_flax
+
+        cfg = ExperimentConfig(
+            dataset="synthetic", zdims=(4, 4), downsample=(1, 1),
+            blocks_per_layer=1, n_filters=8, dropout=0.0, dry_run=True,
+        )
+        exp = Experiment(cfg, bundle=stub_bundle("synthetic"))
+        state = exp.init_state()
+        run_dir = tmp_path / "run"
+        save_config(str(run_dir), cfg)
+        CheckpointManager(str(run_dir)).save(state, wait=True)
+
+        spec = importlib.util.spec_from_file_location(
+            "export_tool",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "export_torch_checkpoint.py"),
+        )
+        tool = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tool)
+        out = tmp_path / "ref_model.pt"
+        # --platform '' : conftest already pinned the backend
+        tool.main(["--load", str(run_dir), "--out", str(out),
+                   "--platform", ""])
+
+        sd = torch.load(out, weights_only=True)
+        params, bstats = torch_state_dict_to_flax(
+            state.params, state.batch_stats, sd
+        )
+        for path, vo in flatten_dict(unfreeze(state.params)).items():
+            np.testing.assert_array_equal(
+                np.asarray(vo), flatten_dict(params)[path],
+                err_msg="/".join(path),
+            )
+        for path, vo in flatten_dict(unfreeze(state.batch_stats)).items():
+            np.testing.assert_array_equal(
+                np.asarray(vo), flatten_dict(bstats)[path]
+            )
+
+
 class TestDataDepInitParity:
     """VERDICT r3 next #4c: the data-dependent init's NUMERICS — the
     sequential Salimans-Kingma rescale of train/init.py (boilr's
