@@ -29,6 +29,7 @@ of this class can never ship again.
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -74,16 +75,18 @@ def device_peak_flops() -> tuple[str, float]:
     return kind, PEAK_FLOPS["cpu"]
 
 
-def assert_device_alive(timeout_s: float = 150.0) -> None:
-    """Fail fast (exit 2) if the device cannot execute a trivial readback.
+# Written after every successful bench run; cited in the failure JSON so a
+# transient tunnel outage at capture time never voids the round record
+# (round 4's BENCH_r04.json was an empty `parsed: null` for exactly this).
+LAST_VERIFIED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_last_verified.json"
+)
 
-    The tunneled TPU runtime on this box DEGRADES BY HANGING: when it is
-    down, any dispatch+readback blocks forever in a C call no signal
-    handler can interrupt, which would wedge an unattended bench run
-    indefinitely. Probe on a daemon thread and hard-exit on timeout —
-    a missing bench result with a clear stderr line beats a hung driver."""
-    import os
-    import sys
+
+def _probe_once(timeout_s: float) -> bool:
+    """One bounded liveness probe: trivial matmul + VALUE readback on a
+    daemon thread (the tunneled runtime degrades by HANGING in a C call no
+    signal handler can interrupt — a join timeout is the only safe bound)."""
     import threading
 
     done = threading.Event()
@@ -95,15 +98,93 @@ def assert_device_alive(timeout_s: float = 150.0) -> None:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not done.wait(timeout_s):
+    return done.wait(timeout_s)
+
+
+def _unreachable_record(probes: int, timeout_s: float, backoff_s: float) -> dict:
+    """Structured failure JSON (the documented schema — see README
+    'Benchmark' section): same envelope keys as a success record so the
+    driver's parse never comes back empty, plus the outage diagnosis and
+    the last verified result + timestamp for the round record."""
+    last = None
+    try:
+        with open(LAST_VERIFIED_PATH) as f:
+            last = json.load(f)
+    except (OSError, ValueError):
+        pass
+    total_s = probes * timeout_s + (probes - 1) * backoff_s
+    return {
+        "metric": "train_images_per_sec_per_chip",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": "device_unreachable",
+        "detail": (
+            f"{probes} liveness probes (trivial matmul readback, "
+            f"{timeout_s:.0f}s bound each, {backoff_s:.0f}s backoff) all "
+            f"timed out over ~{total_s / 60:.0f} min — tunneled TPU "
+            "hard-down at capture time; refusing to hang"
+        ),
+        "last_verified": last,
+    }
+
+
+def assert_device_alive(
+    timeout_s: float = 150.0,
+    retries: int = 3,
+    backoff_s: float = 150.0,
+    _probe=None,
+    _sleep=time.sleep,
+) -> None:
+    """Bounded retry-with-backoff liveness gate (exit 2 on final failure).
+
+    The tunnel's outages are TRANSIENT (round 3/4 evidence: hard-down for
+    hours, then revived and reproduced the headline to 0.1%), so one failed
+    probe must not void a round record: probe up to ``retries`` times,
+    ``backoff_s`` apart (~12.5 min total at the defaults). On final failure
+    print the structured unreachable JSON (citing the last verified result
+    + timestamp from ``.bench_last_verified.json``) to stdout and hard-exit
+    2 — the driver record then carries the diagnosis instead of
+    ``parsed: null``."""
+    import sys
+
+    probe = _probe if _probe is not None else _probe_once
+    for attempt in range(1, retries + 1):
+        if probe(timeout_s):
+            return
         print(
-            f"bench: device liveness probe (trivial matmul readback) did "
-            f"not complete within {timeout_s:.0f}s — the backend is "
-            "unreachable or wedged (tunneled TPU hard-down?); refusing to "
-            "hang. No result emitted.",
+            f"bench: device liveness probe {attempt}/{retries} (trivial "
+            f"matmul readback) did not complete within {timeout_s:.0f}s",
             file=sys.stderr, flush=True,
         )
-        os._exit(2)
+        if attempt < retries:
+            print(
+                f"bench: backing off {backoff_s:.0f}s before reprobing "
+                "(tunnel outages are transient)",
+                file=sys.stderr, flush=True,
+            )
+            _sleep(backoff_s)
+    print(json.dumps(_unreachable_record(retries, timeout_s, backoff_s)), flush=True)
+    os._exit(2)
+
+
+def record_last_verified(result: dict) -> None:
+    """Persist a successful bench record (+ UTC timestamp) for citation by
+    later outage records. Best-effort — never fails the bench."""
+    rec = {
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "vs_baseline": result.get("vs_baseline"),
+        "mfu": result.get("mfu"),
+        "config": result.get("config"),
+        "device": result.get("device"),
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    try:
+        with open(LAST_VERIFIED_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
 
 
 def main(argv=None):
@@ -324,34 +405,32 @@ def main(argv=None):
             file=sys.stderr, flush=True,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_images_per_sec_per_chip",
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": vs_baseline,
-                "img32_equivalent_per_sec": round(ips_32, 1),
-                "mfu": round(mfu, 4),
-                "flops_per_image": round(flops_per_image, 1),
-                "bytes_per_image": round(bytes_per_step / args.batch_size, 1),
-                "device": device_kind,
-                "peak_flops": peak,
-                "config": {
-                    "preset": args.preset,
-                    "batch_size": args.batch_size,
-                    "steps_per_call": spc,
-                    "timed_steps": args.steps * spc,
-                    "precision": args.precision,
-                    "fused": args.fused,
-                    "conv_pad": args.conv_pad,
-                    "skip_merge": args.skip_merge,
-                    "remat": args.remat,
-                    "bn_stat_samples": args.bn_stat_samples,
-                },
-            }
-        )
-    )
+    result = {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs_baseline,
+        "img32_equivalent_per_sec": round(ips_32, 1),
+        "mfu": round(mfu, 4),
+        "flops_per_image": round(flops_per_image, 1),
+        "bytes_per_image": round(bytes_per_step / args.batch_size, 1),
+        "device": device_kind,
+        "peak_flops": peak,
+        "config": {
+            "preset": args.preset,
+            "batch_size": args.batch_size,
+            "steps_per_call": spc,
+            "timed_steps": args.steps * spc,
+            "precision": args.precision,
+            "fused": args.fused,
+            "conv_pad": args.conv_pad,
+            "skip_merge": args.skip_merge,
+            "remat": args.remat,
+            "bn_stat_samples": args.bn_stat_samples,
+        },
+    }
+    record_last_verified(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

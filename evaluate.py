@@ -26,6 +26,12 @@ def parse_args(argv=None):
     p.add_argument("--logsumexp", default="streaming",
                    choices=["streaming", "pallas"],
                    help="IW logsumexp implementation (scan accumulator or Pallas kernel)")
+    p.add_argument("--iw-chunk", type=int, default=None,
+                   help="IW samples evaluated per scan iteration (estimate "
+                        "is chunk-invariant; larger chunks feed the MXU at "
+                        "the cost of chunk x batch activation memory). "
+                        "Default: 4 on TPU, 1 elsewhere — chosen by "
+                        "hardware A/B (RESULTS.md round 5)")
     p.add_argument("--test-batch-size", type=int, default=None)
     p.add_argument("--num-data-shards", type=int, default=None,
                    help="shard the eval batch over this many devices "
@@ -140,12 +146,22 @@ def main(argv=None):
         # --logsumexp pallas works on a sharded eval mesh too: the kernel
         # is registered with the SPMD partitioner (shards over B, k
         # replicated — kernels/logsumexp_pallas.py), no fallback needed.
+        chunk = args.iw_chunk
+        if chunk is None:
+            # hardware A/B (RESULTS.md round 5): chunk=4 wins on TPU; on
+            # CPU the vmapped forward only adds memory pressure
+            import jax
+
+            chunk = 4 if jax.default_backend() == "tpu" else 1
+        if chunk < 1:
+            raise SystemExit(f"--iw-chunk must be >= 1, got {chunk}")
         iw = evaluate_iwll(
-            exp, state, n_samples=args.iw_samples, logsumexp_impl=args.logsumexp
+            exp, state, n_samples=args.iw_samples,
+            logsumexp_impl=args.logsumexp, chunk=chunk,
         )
         print(
             f"IW log-likelihood ({iw['n_samples']} samples, "
-            f"{iw['n_images']} images): {iw['iw_ll']:.2f} nats  "
+            f"{iw['n_images']} images, chunk {chunk}): {iw['iw_ll']:.2f} nats  "
             f"bpd {iw['iw_bpd']:.4f}  "
             f"[{iw['wall_s']:.1f}s incl. compile, "
             f"{iw['images_per_sec']:.1f} img/s]", flush=True,

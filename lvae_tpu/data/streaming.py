@@ -85,13 +85,18 @@ class ArrayLoader:
             )
         self.array = array_u8
         self.batch_size = batch_size
-        # different shards must draw different shuffles
-        self.seed = seed + shard_index
+        # Different shards must draw different shuffles, and shuffles of
+        # adjacent-seed runs must be independent — seed the rng with the
+        # full (seed, shard) tuple instead of additive composition (which
+        # made shard 1 of seed N collide with shard 0 of seed N+1).
+        self.seed = seed
+        self.shard_index = shard_index
         self.steps_per_call = max(1, steps_per_call)
         self.n = len(array_u8)
 
     def _perm(self, epoch: int) -> np.ndarray:
-        return np.random.default_rng([self.seed, epoch]).permutation(self.n)
+        rng = np.random.default_rng([self.seed, self.shard_index, epoch])
+        return rng.permutation(self.n)
 
     def epochs(self, start_step: int = 0) -> Iterator[np.ndarray]:
         """Endless stream of [B, ...] batches (or [k, B, ...] stacks),
@@ -156,8 +161,16 @@ class GrainLoader:
         self._grain = grain
         self.array = array_u8
         self.batch_size = batch_size
-        # different shards must draw different shuffles
-        self.seed = seed + shard_index
+        # Different shards must draw different shuffles, independent across
+        # adjacent seeds too. grain takes a scalar seed, so mix (seed,
+        # shard) through SeedSequence instead of adding them (additive
+        # composition collides seed N shard 1 with seed N+1 shard 0).
+        if shard_count > 1:
+            self.seed = int(
+                np.random.SeedSequence([seed, shard_index]).generate_state(1)[0]
+            )
+        else:
+            self.seed = seed
         self.num_threads = num_threads
         self.steps_per_call = max(1, steps_per_call)
         self.n = len(array_u8)

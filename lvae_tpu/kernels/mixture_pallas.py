@@ -411,8 +411,10 @@ def _batch_spec(*shardings):
     axis — GSPMD would resolve that with a reshard, not an error), and
     naively merging them emits a PartitionSpec with a duplicate axis,
     which crashes compilation (DuplicateSpecError). The first dim that
-    claims an axis keeps it; the partition rule's ``args`` shardings
-    then force the disagreeing operand to reshard."""
+    claims an axis keeps it; a later multi-axis tuple entry keeps its
+    non-conflicting remainder (dropping only the already-claimed axes,
+    not the whole dim); the partition rule's ``args`` shardings then
+    force any disagreeing operand to reshard."""
     out = [None, None, None]
     used = set()
     for sh in shardings:
@@ -421,10 +423,11 @@ def _batch_spec(*shardings):
             if out[i] is not None or spec[i] is None:
                 continue
             axes = spec[i] if isinstance(spec[i], tuple) else (spec[i],)
-            if used.intersection(axes):
+            keep = tuple(a for a in axes if a not in used)
+            if not keep:
                 continue
-            out[i] = spec[i]
-            used.update(axes)
+            out[i] = keep if isinstance(spec[i], tuple) else keep[0]
+            used.update(keep)
     return tuple(out)
 
 

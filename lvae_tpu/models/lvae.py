@@ -156,6 +156,7 @@ class TopDownLayer(nn.Module):
         n_img_prior: Optional[int] = None,
         use_mode: bool = False,
         forced_latent: Optional[jnp.ndarray] = None,
+        forced_eps: Optional[jnp.ndarray] = None,
         constant_latent: bool = False,
         temperature: float = 1.0,
     ) -> Tuple[jnp.ndarray, dict[str, Any]]:
@@ -181,6 +182,7 @@ class TopDownLayer(nn.Module):
             p_in,
             q_in,
             forced_latent=forced_latent,
+            forced_eps=forced_eps,
             use_mode=use_mode,
             constant_latent=constant_latent,
             train=train,
@@ -249,6 +251,15 @@ class LadderVAE(nn.Module):
         """Downsampling factor (log2) at the *output* of each BU layer."""
         if len(self.downsample) != self.n_layers:
             raise ValueError("downsample must have one entry per layer")
+        if any(d > self.blocks_per_layer for d in self.downsample):
+            # each block performs at most one 2x resample (setup():
+            # resample = j < downsample[i]); a larger request would
+            # silently drop resamples and break BU/TD shape agreement
+            raise ValueError(
+                f"downsample {tuple(self.downsample)} has an entry larger "
+                f"than blocks_per_layer {self.blocks_per_layer}: a layer "
+                "can resample at most once per block"
+            )
         init = 0 if self.no_initial_downscaling else 1
         scales, s = [], init
         for d in self.downsample:
@@ -374,6 +385,7 @@ class LadderVAE(nn.Module):
         train: bool = False,
         n_img_prior: Optional[int] = None,
         forced_latent: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+        forced_eps: Optional[Sequence[Optional[jnp.ndarray]]] = None,
         mode_layers: Sequence[int] = (),
         constant_layers: Sequence[int] = (),
         temperature: Union[float, Sequence[float]] = 1.0,
@@ -388,6 +400,8 @@ class LadderVAE(nn.Module):
             bu_values = [None] * L
         if forced_latent is None:
             forced_latent = [None] * L
+        if forced_eps is None:
+            forced_eps = [None] * L
         if isinstance(temperature, (int, float)):
             temps = [float(temperature)] * L
         else:
@@ -409,6 +423,7 @@ class LadderVAE(nn.Module):
                 n_img_prior=n_img_prior,
                 use_mode=i in mode_layers,
                 forced_latent=forced_latent[i],
+                forced_eps=forced_eps[i],
                 constant_latent=i in constant_layers,
                 temperature=temps[i],
             )

@@ -48,6 +48,7 @@ class NormalStochasticBlock(nn.Module):
         q_in: Optional[jnp.ndarray] = None,
         *,
         forced_latent: Optional[jnp.ndarray] = None,
+        forced_eps: Optional[jnp.ndarray] = None,
         use_mode: bool = False,
         constant_latent: bool = False,
         train: bool = False,
@@ -93,6 +94,13 @@ class NormalStochasticBlock(nn.Module):
         kl_sample = None
         if forced_latent is not None:
             z = forced_latent
+        elif forced_eps is not None:
+            # caller-supplied standard-normal draw: z = mu + sigma * eps.
+            # Used by the cross-framework parity harness (tests share ONE
+            # numpy eps stream between this model and the torch mirror, so
+            # 500-step trajectories are comparable under the REAL stochastic
+            # objective, not just the z=mu mode objective).
+            z = mu + jnp.exp(0.5 * log_var) * forced_eps
         elif use_mode:
             z = mu
         elif self.fused and q_params is not None and train:

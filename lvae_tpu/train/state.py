@@ -32,9 +32,6 @@ class TrainState(struct.PyTreeNode):
     ema: Any                      # dict of EMA'd train metrics (on device)
     rng: jax.Array                # base PRNG key; per-step keys are folded in
 
-    def replace_(self, **kw):
-        return self.replace(**kw)
-
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:

@@ -477,27 +477,34 @@ class Trainer:
             cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None
         )
         state = exp.init_state(data_dep_init=False if will_restore else None)
-        if cfg.load:
-            load_dir = cfg.load if os.path.isdir(cfg.load) else os.path.join(
-                cfg.output_dir, cfg.load
-            )
-            restore = CheckpointManager(load_dir, keep=cfg.keep_checkpoints)
-            state = restore.restore(state)
-            p0print(f"resumed from {load_dir} at step {int(state.step)}", flush=True)
-            cfg = self._adopt_stored_stream_impl(load_dir)
-        elif cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None:
-            # failure recovery: restart with the same run name picks up the
-            # latest checkpoint automatically (SURVEY.md §5 "failure
-            # detection ... orbax auto-restore of latest step on startup").
-            # The run dir's config.json is still the ORIGINAL one here —
-            # save_config below runs only after impl reconciliation.
-            cfg = self._adopt_stored_stream_impl(run_dir)
-            state = ckpt.restore(state)
-            p0print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
-        if not cfg.dry_run and jax.process_index() == 0:
-            # one writer on shared filesystems; written after restore so a
-            # resumed run's stored stream impl is reconciled first
-            save_config(run_dir, cfg)
+        try:
+            if cfg.load:
+                load_dir = cfg.load if os.path.isdir(cfg.load) else os.path.join(
+                    cfg.output_dir, cfg.load
+                )
+                restore = CheckpointManager(load_dir, keep=cfg.keep_checkpoints)
+                state = restore.restore(state)
+                p0print(
+                    f"resumed from {load_dir} at step {int(state.step)}", flush=True
+                )
+                cfg = self._adopt_stored_stream_impl(load_dir)
+            elif cfg.auto_resume and ckpt is not None and ckpt.latest_step() is not None:
+                # failure recovery: restart with the same run name picks up the
+                # latest checkpoint automatically (SURVEY.md §5 "failure
+                # detection ... orbax auto-restore of latest step on startup").
+                # The run dir's config.json is still the ORIGINAL one here —
+                # save_config below runs only after impl reconciliation.
+                cfg = self._adopt_stored_stream_impl(run_dir)
+                state = ckpt.restore(state)
+                p0print(f"auto-resumed {run_dir} at step {int(state.step)}", flush=True)
+        finally:
+            if not cfg.dry_run and jax.process_index() == 0:
+                # one writer on shared filesystems; written after restore so a
+                # resumed run's stored stream impl is reconciled first — and in
+                # a finally so a failed restore (corrupt/missing checkpoint)
+                # still leaves the run dir self-describing for evaluate/resume
+                # tooling (config.json next to the checkpoints-dir scaffolding)
+                save_config(run_dir, cfg)
 
         if exp.mesh is not None and jax.process_count() > 1:
             # multi-process jits only accept GLOBAL arrays: promote the

@@ -502,6 +502,24 @@ class TestArrayLoader:
         with pytest.raises(ValueError, match="exceeds"):
             ArrayLoader(arr, batch_size=16, shard_index=0, shard_count=2)
 
+    def test_adjacent_seed_shards_draw_independent_shuffles(self):
+        """Shard s of a seed-N run must not replay shard s-1 of seed N+1:
+        seeds compose as a (seed, shard, epoch) tuple, not additively
+        (ADVICE r4 #1). Compare the raw permutations — the shards slice
+        different strided subsets, so batch values can't collide anyway."""
+        from lvae_tpu.data.streaming import ArrayLoader, GrainLoader
+
+        arr = np.arange(64, dtype=np.uint8).reshape(64, 1, 1, 1)
+        a = ArrayLoader(arr, batch_size=8, seed=0, shard_index=1, shard_count=2)
+        b = ArrayLoader(arr, batch_size=8, seed=1, shard_index=0, shard_count=2)
+        assert not np.array_equal(a._perm(0), b._perm(0))
+        # grain takes a scalar seed; the mixed seeds must differ too
+        ga = GrainLoader(arr, batch_size=8, seed=0, shard_index=1,
+                         shard_count=2, num_threads=1)
+        gb = GrainLoader(arr, batch_size=8, seed=1, shard_index=0,
+                         shard_count=2, num_threads=1)
+        assert ga.seed != gb.seed
+
     @pytest.mark.slow
     def test_streaming_trainer_grain_impl(self):
         """--stream-impl grain keeps the worker-thread backend working

@@ -115,6 +115,53 @@ class TestIWLL:
         assert lls[16] > lls[1]
 
 
+class TestIWLLChunking:
+    """The chunked k-scan (VERDICT r4 weak #4) must be output-identical to
+    the serial scan for every chunk size: keys are per-(image, sample) and
+    the logsumexp accumulator algebra is associative."""
+
+    def _run(self, impl, chunk, k=10):
+        exp = tiny_exp()
+        state = exp.init_state()
+        step = jax.jit(make_iwll_step(exp.model, exp.loss_cfg, k, impl, chunk=chunk))
+        idx = jnp.arange(8)
+        batch = exp.test_data.gather(idx)
+        return np.asarray(step(state, batch, idx, jax.random.key(7)))
+
+    @pytest.mark.parametrize("chunk", [2, 4, 5, 10])
+    def test_streaming_chunked_matches_serial(self, chunk):
+        ref = self._run("streaming", 1)
+        out = self._run("streaming", chunk)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_non_divisor_chunk_pads_correctly(self):
+        # k=10, chunk=4 -> 3 iterations with 2 masked pad samples; the pad
+        # rows are -inf so they cannot perturb the estimate
+        ref = self._run("streaming", 1, k=10)
+        out = self._run("streaming", 4, k=10)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+        assert np.all(np.isfinite(out))
+
+    def test_pallas_impl_chunked_matches_serial(self):
+        # interpret-mode on CPU; the chunked path stacks [n_iters, c, B],
+        # reshapes, and slices the pad rows before the kernel
+        ref = self._run("pallas", 1, k=6)
+        out = self._run("pallas", 4, k=6)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_chunk_larger_than_k_clamps(self):
+        ref = self._run("streaming", 1, k=3)
+        out = self._run("streaming", 16, k=3)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_evaluate_iwll_chunk_invariant(self):
+        exp = tiny_exp()
+        state = exp.init_state()
+        a = evaluate_iwll(exp, state, n_samples=6, max_batches=1)
+        b = evaluate_iwll(exp, state, n_samples=6, max_batches=1, chunk=3)
+        np.testing.assert_allclose(a["iw_ll"], b["iw_ll"], rtol=1e-6)
+
+
 class TestEvalBatchingInvariance:
     """VERDICT round 2 weak #3 / next-round #4: test ELBO and IW-LL must
     not depend on --test-batch-size or sweep chunking. All eval randomness

