@@ -71,6 +71,17 @@ ADD_ARG_RE = re.compile(
     r"""add_argument\(\s*(?:['"]-\w['"]\s*,\s*)?['"](--[\w-]+)['"]"""
 )
 
+# Call body following the flag literal, tolerating one level of nested
+# parens (type=int, default=(1, 1, 1), choices=[...]); used to extract
+# `default=` values so SHIFTED DEFAULTS are diffed, not just renames
+# (mount-day rehearsal, VERDICT r4 next #5).
+ARG_BODY_RE = re.compile(
+    r"""add_argument\(\s*(?:['"]-\w['"]\s*,\s*)?['"](--[\w-]+)['"]"""
+    r"""((?:[^()]|\([^()]*\))*)\)""",
+    re.DOTALL,
+)
+DEFAULT_RE = re.compile(r"default\s*=\s*((?:[^,()\n]|\([^()]*\))+)")
+
 # (token regex, why it matters, which of our switches it pins)
 STRUCTURAL_PROBES = [
     (r"padding\s*=", "conv padding convention", "--conv-pad same|torch"),
@@ -121,12 +132,59 @@ def extract_ref_flags(ref: Path):
     return flags
 
 
+def _norm_default(s: str):
+    """Normalize a default expression for comparison: literal-eval when
+    possible (so '1e-4' == 0.0001 and '[1, 1, 1]' == (1, 1, 1))."""
+    import ast
+
+    s = s.strip()
+    try:
+        v = ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        return s
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    return v
+
+
+def extract_ref_defaults(ref: Path):
+    """--flag -> (default expression, file:line) for every reference
+    add_argument carrying a ``default=``."""
+    out = {}
+    for py in iter_py(ref):
+        try:
+            text = py.read_text(errors="replace")
+        except OSError:
+            continue
+        for m in ARG_BODY_RE.finditer(text):
+            d = DEFAULT_RE.search(m.group(2))
+            if d:
+                line = text.count("\n", 0, m.start()) + 1
+                out.setdefault(
+                    m.group(1),
+                    (d.group(1).strip(), f"{py.relative_to(ref)}:{line}"),
+                )
+    return out
+
+
 def our_flags():
     from lvae_tpu.config import build_parser
 
     out = set()
     for action in build_parser()._actions:  # argparse internals: stable enough
         out.update(s for s in action.option_strings if s.startswith("--"))
+    return out
+
+
+def our_defaults():
+    from lvae_tpu.config import build_parser
+
+    out = {}
+    for action in build_parser()._actions:
+        for s in action.option_strings:
+            if s.startswith("--") and action.default is not None:
+                d = action.default
+                out[s] = tuple(d) if isinstance(d, (list, tuple)) else d
     return out
 
 
@@ -226,6 +284,27 @@ def main(argv=None) -> int:
             w(f"  - {f}  ({theirs[f]})")
     else:
         w("No reference flags we lack. ✔")
+    w("")
+
+    # ---- default-value diff ----------------------------------------------
+    ref_defaults = extract_ref_defaults(ref)
+    mine = our_defaults()
+    shifted = []
+    for f, (expr, where) in sorted(ref_defaults.items()):
+        if f not in mine:
+            continue
+        if _norm_default(expr) != mine[f]:
+            shifted.append((f, expr, mine[f], where))
+    w("## Default-value diff (flags present on both sides)")
+    w("")
+    if shifted:
+        w("**SHIFTED DEFAULTS — align lvae_tpu/config.py (or document the "
+          "deliberate deviation in docs/MIGRATION.md):**")
+        for f, theirs_d, ours_d, where in shifted:
+            w(f"  - {f}: reference default {theirs_d}  vs ours {ours_d!r}  "
+              f"({where})")
+    else:
+        w("Every shared flag's default matches. ✔")
     w("")
 
     # ---- README results --------------------------------------------------
