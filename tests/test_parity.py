@@ -721,3 +721,45 @@ class TestDataDepInitParity:
                         np.asarray(leaf), np.asarray(init_flat[path]),
                         err_msg=f"excluded head rescaled at {names}",
                     )
+
+
+class TestLongHorizonDrift:
+    """Long-horizon trajectory drift vs the torch mirror (VERDICT r4 #1).
+
+    The short-horizon tests above prove step-level semantic equality; this
+    one bounds the *accumulated* quality gap over a real training horizon.
+    tests/drift_harness.py runs the SAME stochastic trajectory (shared
+    data stream + shared per-(step, layer) eps draws, warmup-beta +
+    free-bits + BN active, Adamax) through lvae_tpu and the torch mirror
+    in fp32 and compares the terminal shared-eps test ELBO in bpd.
+
+    Reduced width (16 filters, z 8-8-8) but full flagship depth and
+    semantics; the flagship-scale 500-step record (z 32-32-32, 64
+    filters, both convention combos) lives in RESULTS.md round 5 via
+    tools/parity_drift.py. The assert is 1e-3 bpd — an order of
+    magnitude under the 0.01-bpd north star (BASELINE.json; SURVEY §6)
+    and ~50x the float32 eval noise floor, so it fails on any semantic
+    regression while tolerating conv-roundoff chaos.
+    """
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize(
+        "conv", CONVENTIONS[:2]  # same-pre + torch-post, the two candidate
+    )                            # reference conventions (docs/MIGRATION.md)
+    def test_200_step_drift_bounded(self, conv):
+        from tests.drift_harness import run_drift
+
+        r = run_drift(
+            steps=200, batch=16, zdims=(8, 8, 8), n_filters=16,
+            blocks_per_layer=2, conv_pad=conv["conv_pad"],
+            skip_merge=conv["skip_merge_mode"], free_bits=0.5,
+            beta_anneal=100, n_train=512, n_eval=64, eval_eps=2,
+            eval_every=100,
+        )
+        # every checkpoint along the way, not just the terminal one
+        for row in r["history"]:
+            assert row["drift_bpd"] < 1e-3, (row, r["config"])
+        assert r["drift_bpd"] < 1e-3, r
+        # and the trajectory actually learned (guards against a harness
+        # regression that freezes both sides at init and trivially passes)
+        assert r["elbo_jax"] > -0.35 * 28 * 28  # < 0.51 bpd on blob data

@@ -45,6 +45,12 @@ def main(argv=None):
     # both sides on the same host so the comparison is conv-roundoff, not
     # tunnel noise
 
+    from lvae_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # flagship-scale CPU compiles take minutes
+    # on this 1-core box; cache them so reruns/restarts skip straight to
+    # stepping
+
     from tests.drift_harness import run_drift
 
     r = run_drift(
