@@ -761,5 +761,7 @@ class TestLongHorizonDrift:
             assert row["drift_bpd"] < 1e-3, (row, r["config"])
         assert r["drift_bpd"] < 1e-3, r
         # and the trajectory actually learned (guards against a harness
-        # regression that freezes both sides at init and trivially passes)
-        assert r["elbo_jax"] > -0.35 * 28 * 28  # < 0.51 bpd on blob data
+        # regression that freezes both sides at init and trivially passes):
+        # this width reaches ~-530 by step 200 (measured both combos);
+        # early training sits below -619 (step-10 probe) and init lower
+        assert r["elbo_jax"] > -570
