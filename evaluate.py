@@ -26,12 +26,20 @@ def parse_args(argv=None):
     p.add_argument("--logsumexp", default="streaming",
                    choices=["streaming", "pallas"],
                    help="IW logsumexp implementation (scan accumulator or Pallas kernel)")
-    p.add_argument("--iw-chunk", type=int, default=None,
+    p.add_argument("--iw-chunk", type=int, default=1,
                    help="IW samples evaluated per scan iteration (estimate "
-                        "is chunk-invariant; larger chunks feed the MXU at "
-                        "the cost of chunk x batch activation memory). "
-                        "Default: 4 on TPU, 1 elsewhere — chosen by "
-                        "hardware A/B (RESULTS.md round 5)")
+                        "is chunk-invariant). Default 1: the hardware A/B "
+                        "(tools/iwll_probe.py, RESULTS.md round 5) showed "
+                        "chunk=4 runs 2x SLOWER per forward at flagship "
+                        "eval batches (the MXU is already fed) and "
+                        "chunk=16 OOMs; raise it only when the eval batch "
+                        "itself is too small to fill the array")
+    p.add_argument("--precision", default=None, choices=["fp32", "bf16"],
+                   help="override the run's conv compute dtype at eval "
+                        "time (checkpoints are layout-identical across "
+                        "precisions; bf16 speeds the IW forward ~1.6x on "
+                        "TPU — RESULTS.md round 5 quantifies the bpd "
+                        "delta vs fp32)")
     p.add_argument("--test-batch-size", type=int, default=None)
     p.add_argument("--num-data-shards", type=int, default=None,
                    help="shard the eval batch over this many devices "
@@ -81,50 +89,59 @@ def main(argv=None):
     run_dir = args.load if os.path.isdir(args.load) else os.path.join(
         args.output_dir, args.load
     )
-    cfg = config_from_dict(load_config_dict(run_dir))
+    # All overrides and pod-checkpoint clamping happen on the RAW dict:
+    # ExperimentConfig.__post_init__ validates flag consistency (e.g.
+    # batch_size % num_data_shards) at construction, so a pod config must
+    # be clamped to this host's devices BEFORE it is built, not after
+    d = load_config_dict(run_dir)
     if args.test_batch_size:
-        cfg.test_batch_size = args.test_batch_size
+        d["test_batch_size"] = args.test_batch_size
     if args.data_dir:
-        cfg.data_dir = args.data_dir
-    if args.num_data_shards is not None:
-        cfg.num_data_shards = args.num_data_shards
-        import jax
+        d["data_dir"] = args.data_dir
+    import jax
 
-        n_dev = len(jax.devices())
-        if cfg.num_data_shards * cfg.spatial_shards > n_dev:
+    n_dev = len(jax.devices())
+    stored_ds = int(d.get("num_data_shards") or 1)
+    stored_ss = int(d.get("spatial_shards") or 1)
+    if args.num_data_shards is not None:
+        d["num_data_shards"] = args.num_data_shards
+        if args.num_data_shards * stored_ss > n_dev:
             # the stored spatial axis can't coexist with the requested
             # data axis on this host; eval never needs spatial sharding
             # for correctness (it batch-shards only), so drop it rather
             # than crash in make_mesh
             print(
-                f"note: --num-data-shards {cfg.num_data_shards} with the "
-                f"run's spatial_shards={cfg.spatial_shards} needs "
-                f"{cfg.num_data_shards * cfg.spatial_shards} devices, only "
+                f"note: --num-data-shards {args.num_data_shards} with the "
+                f"run's spatial_shards={stored_ss} needs "
+                f"{args.num_data_shards * stored_ss} devices, only "
                 f"{n_dev} here — evaluating with spatial_shards=1",
                 flush=True,
             )
-            cfg.spatial_shards = 1
-    else:
+            d["spatial_shards"] = 1
+    elif stored_ds * stored_ss > n_dev:
         # A run trained on more devices than this host has (e.g. a pod
         # checkpoint evaluated on one chip) must still evaluate: eval is
         # batching-invariant (per-image keyed binarization) and the data
-        # mesh only changes reduction sharding, so clamping is safe.
-        import jax
-
-        n_dev = len(jax.devices())
-        if cfg.num_data_shards * cfg.spatial_shards > n_dev:
-            print(
-                f"note: run was trained on a {cfg.num_data_shards}x"
-                f"{cfg.spatial_shards} (data x space) mesh, only {n_dev} "
-                f"device(s) here — evaluating data-parallel over "
-                f"{min(cfg.num_data_shards, n_dev)} (same metrics; pass "
-                "--num-data-shards to override)",
-                flush=True,
-            )
-            cfg.num_data_shards = min(cfg.num_data_shards, n_dev)
-            cfg.spatial_shards = 1
+        # mesh only changes reduction sharding, so clamping is safe. The
+        # clamp keeps the stored train batch divisible (config validation)
+        clamped = min(stored_ds, n_dev)
+        while int(d.get("batch_size") or 1) % clamped:
+            clamped -= 1
+        print(
+            f"note: run was trained on a {stored_ds}x"
+            f"{stored_ss} (data x space) mesh, only {n_dev} "
+            f"device(s) here — evaluating data-parallel over "
+            f"{clamped} (same metrics; pass "
+            "--num-data-shards to override)",
+            flush=True,
+        )
+        d["num_data_shards"] = clamped
+        d["spatial_shards"] = 1
     if args.fused is not None:
-        cfg.fused = args.fused
+        d["fused"] = args.fused
+    if args.precision is not None:
+        d["precision"] = args.precision
+    cfg = config_from_dict(d)
 
     exp = Experiment(cfg)
     # data_dep_init=False: the restore below overwrites the params anyway;
@@ -147,23 +164,30 @@ def main(argv=None):
         # is registered with the SPMD partitioner (shards over B, k
         # replicated — kernels/logsumexp_pallas.py), no fallback needed.
         chunk = args.iw_chunk
-        if chunk is None:
-            # hardware A/B (RESULTS.md round 5): chunk=4 wins on TPU; on
-            # CPU the vmapped forward only adds memory pressure
-            import jax
-
-            chunk = 4 if jax.default_backend() == "tpu" else 1
         if chunk < 1:
             raise SystemExit(f"--iw-chunk must be >= 1, got {chunk}")
-        iw = evaluate_iwll(
-            exp, state, n_samples=args.iw_samples,
-            logsumexp_impl=args.logsumexp, chunk=chunk,
-        )
+        try:
+            iw = evaluate_iwll(
+                exp, state, n_samples=args.iw_samples,
+                logsumexp_impl=args.logsumexp, chunk=chunk,
+            )
+        except Exception as e:  # XlaRuntimeError has no stable import path
+            if "RESOURCE_EXHAUSTED" in str(e) and chunk > 1:
+                # chunk=16 at flagship scale OOMs a v5e chip (r5 queue);
+                # name the flag instead of dumping the allocator trace
+                raise SystemExit(
+                    f"IW eval ran out of device memory at --iw-chunk "
+                    f"{chunk}: the forward holds chunk x batch "
+                    f"activations. Lower --iw-chunk (default 1 is also "
+                    f"the fastest measured — RESULTS.md round 5) or "
+                    f"--test-batch-size.\n\n{e}"
+                ) from None
+            raise
         print(
             f"IW log-likelihood ({iw['n_samples']} samples, "
             f"{iw['n_images']} images, chunk {chunk}): {iw['iw_ll']:.2f} nats  "
             f"bpd {iw['iw_bpd']:.4f}  "
-            f"[{iw['wall_s']:.1f}s incl. compile, "
+            f"[compile {iw['compile_s']:.1f}s + exec {iw['wall_s']:.1f}s, "
             f"{iw['images_per_sec']:.1f} img/s]", flush=True,
         )
 

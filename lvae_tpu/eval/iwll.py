@@ -67,9 +67,12 @@ def make_iwll_step(
 
     ``chunk``: IW samples evaluated per scan iteration. chunk=1 is the
     strictly serial k-scan; chunk=c vmaps c samples through one forward
-    (effective batch c*B — feeds the MXU at small eval batches for a
-    multi-fold wall-clock win, VERDICT r4 weak #4) while holding c*B
-    activations instead of B. The ESTIMATE IS IDENTICAL for any chunk:
+    (effective batch c*B) while holding c*B activations instead of B.
+    Hardware verdict (tools/iwll_probe.py, RESULTS.md round 5): at
+    B=1024 flagship the MXU is ALREADY fed — chunk=4 runs 2.0x SLOWER
+    per forward and chunk=16 OOMs, so chunk=1 is the default everywhere;
+    the knob remains for small-eval-batch setups where c*B is needed to
+    fill the array. The ESTIMATE IS IDENTICAL for any chunk:
     sample j's key does not depend on the chunking (see below), and the
     accumulator algebra is associative (a non-multiple ``chunk`` pads the
     last iteration with masked -inf rows).
@@ -191,17 +194,39 @@ def evaluate_iwll(
     key = replicated_key(mesh, seed) if multi else jax.random.key(seed)
     from lvae_tpu.parallel import eval_batch_stream
 
+    if mesh is not None:
+        # the AOT-compiled executable below (unlike a plain jit call) does
+        # NOT auto-place uncommitted inputs onto its compiled shardings —
+        # commit state/key up front and each batch as it streams
+        state = jax.device_put(state, rep)
+        key = jax.device_put(key, rep)
     total, count = 0.0, 0
+    compile_s = 0.0
+    compiled = None
     t0 = time.perf_counter()
     for jidx, batch, n_valid in eval_batch_stream(
         mesh, experiment.test_data, experiment.bundle.test, bs, max_batches
     ):
-        ll = step(state, batch, jidx, key)
+        if mesh is not None:
+            jidx = jax.device_put(jidx, sh)
+            batch = jax.device_put(batch, sh)
+        if compiled is None:
+            # AOT-compile against the first batch (every batch shares the
+            # padded shape — eval_batch_stream). Separating compile from
+            # execution matters here: the k=100 sweep is ~1.3 s of
+            # execution behind ~18 s of cold compile (tools/iwll_probe.py),
+            # so a wall-only number misreports the eval's cost 10x in
+            # either direction depending on the persistent-cache state.
+            tc = time.perf_counter()
+            compiled = step.lower(state, batch, jidx, key).compile()
+            compile_s = time.perf_counter() - tc
+            t0 = time.perf_counter()
+        ll = compiled(state, batch, jidx, key)
         total += float(np.asarray(ll)[:n_valid].sum())
         count += n_valid
-    # wall includes every value readback (`float(...)` per batch), so this
-    # is execution-gated throughput even through the axon tunnel — the same
-    # timing rule as bench.py (DESIGN.md §2b). First-batch compile included.
+    # exec wall includes every value readback (`float(...)` per batch), so
+    # this is execution-gated throughput even through the axon tunnel —
+    # the same timing rule as bench.py (DESIGN.md §2b).
     wall = time.perf_counter() - t0
     mean_ll = total / max(count, 1)
     return {
@@ -209,6 +234,7 @@ def evaluate_iwll(
         "iw_bpd": -mean_ll / (cfg.data_dims * np.log(2.0)),
         "n_samples": n_samples,
         "n_images": count,
+        "compile_s": compile_s,
         "wall_s": wall,
         "images_per_sec": count / wall if wall > 0 else float("nan"),
     }

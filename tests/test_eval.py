@@ -327,6 +327,18 @@ class TestEvaluateCLI:
         assert "only 8 device(s) here" in out3
         assert [l for l in out3.splitlines() if "test elbo" in l] == elbo_line
 
+        # pod clamp keeps the stored train batch divisible (config
+        # validation fires at construction): 64 shards, batch 12, 8
+        # devices -> largest divisor of 12 that is <= 8 is 6
+        stored["num_data_shards"] = 64
+        stored["batch_size"] = 12
+        cfg_path.write_text(json.dumps(stored))
+        evaluate.main(["--load", str(tmp_path / "r")])
+        out3b = capsys.readouterr().out
+        assert "evaluating data-parallel over 6" in out3b
+        assert [l for l in out3b.splitlines() if "test elbo" in l] == elbo_line
+        stored["batch_size"] = 16
+
         # explicit --num-data-shards override on a spatially-sharded pod
         # run: the stored spatial axis must be dropped rather than crash
         # in make_mesh (the clamp note itself steers users to this flag)

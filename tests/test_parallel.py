@@ -131,9 +131,10 @@ class TestDPTrainStep:
         assert int(state.step) == 4
 
     def test_batch_not_divisible_raises(self):
-        exp = tiny_exp(num_data_shards=8, batch_size=12)
+        # the config-validation audit (round 5) moved this check to
+        # ExperimentConfig construction — before any trace, not at run()
         with pytest.raises(ValueError, match="not divisible"):
-            Trainer(exp).run()
+            tiny_exp(num_data_shards=8, batch_size=12)
 
 
 class TestSpatialSharding:
